@@ -1,0 +1,190 @@
+"""Inter-domain cross-covariances for line-integral observations.
+
+An integrated observation is e(x') = ||x'|| * int_0^1 f(alpha x') dalpha — the
+integral of the latent field along the ray origin -> x' (interstellar-dust
+extinction geometry).  Three pieces:
+
+* ``k_semi_sqexp``      — analytic semi-integrated cross-covariance for the
+                          squared-exponential kernel (Gaussian-CDF closed
+                          form; parity ref `ziggy/kernels.py:223-237`).
+* ``k_semi_mc``         — randomized-grid Monte-Carlo estimator for any
+                          kernel (parity ref `ziggy/kernels.py:19-39`);
+                          takes an explicit PRNG key.
+* ``DoublyDiagInterpolator`` — doubly-integrated diagonal K~(x',x') via a
+                          precomputed unit-parameter quadrature table, scaled
+                          by ell^2 * sig2 on device (parity ref
+                          `ziggy/kernels.py:168-218`).
+
+Numeric oracles (``k_semi_quad``, ``k_doubly_diag_quad``) use tensorized
+Gauss-Legendre quadrature in numpy on the host — they validate the analytic
+and MC estimators in tests, replacing the reference's scipy quad/dblquad loops
+(`ziggy/kernels.py:250-287`) with a vectorized scheme.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "k_semi_sqexp",
+    "k_semi_mc",
+    "DoublyDiagInterpolator",
+    "k_semi_quad",
+    "k_doubly_diag_quad",
+    "normal_cdf",
+]
+
+SQRT2PI = math.sqrt(2.0 * math.pi)
+
+
+def normal_cdf(x, loc, scale):
+    return 0.5 * (1.0 + jax.scipy.special.erf((x - loc) / (scale * math.sqrt(2.0))))
+
+
+def k_semi_sqexp(
+    xpoint: jnp.ndarray, xintegrated: jnp.ndarray, params
+) -> jnp.ndarray:
+    """Analytic Cov(f(xpoint), e(xintegrated)) for SqExp; -> (Npoint, Nint).
+
+    With k(x,y) = sig2 exp(-1/2 (x-y)^T S^{-1} (x-y)), S = ell^2 I, the ray
+    integral of a Gaussian bump is a difference of Gaussian CDFs:
+      int_0^1 exp(-1/2(a t^2 - 2 b t + c)) dt
+        = exp(b^2/2a - c/2) sqrt(2 pi / a) [Phi((1-b/a) sqrt a) - Phi((-b/a) sqrt a)].
+    """
+    sig2, ell = params
+    inv_ell2 = 1.0 / (ell * ell)  # scalar or (D,) ARD
+    xi = xintegrated
+    xp = xpoint
+
+    dists = jnp.sqrt(jnp.sum(xi * xi, axis=-1))  # (Nint,)
+    a = jnp.sum((xi * xi) * inv_ell2, axis=-1)  # (Nint,)
+    b = jnp.einsum("id,pd->ip", xi * inv_ell2, xp)  # (Nint, Npoint)
+    c = jnp.sum((xp * xp) * inv_ell2, axis=-1)  # (Npoint,)
+
+    a = jnp.maximum(a, 1e-30)[:, None]
+    scale = jnp.sqrt(1.0 / a)
+    loc = b / a
+    coef = sig2 * jnp.exp(b * b / (2.0 * a) - c[None, :] / 2.0) * SQRT2PI * scale
+    phi = normal_cdf(1.0, loc, scale) - normal_cdf(0.0, loc, scale)
+    Kip = coef * phi * dists[:, None]  # (Nint, Npoint)
+    return Kip.T
+
+
+def k_semi_mc(
+    key: jax.Array,
+    kernel: Callable,
+    xpoint: jnp.ndarray,
+    xintegrated: jnp.ndarray,
+    params,
+    npts: int = 5,
+) -> jnp.ndarray:
+    """Randomized-midpoint MC estimate of the semi-integrated kernel.
+
+    Shared stratified grid: alpha_j = j/npts + U[0, 1/npts) (one draw, as in
+    the reference).  Returns (Npoint, Nint).
+    """
+    Np, D = xpoint.shape
+    Ni, _ = xintegrated.shape
+    delta = 1.0 / npts
+    u = jax.random.uniform(key, (), dtype=xpoint.dtype) * delta
+    alphas = jnp.arange(npts, dtype=xpoint.dtype) / npts + u  # (npts,)
+
+    # Points along each ray: (Ni, npts, D) -> flatten for one big kernel eval.
+    xgrid = xintegrated[:, None, :] * alphas[None, :, None]
+    Kpis = kernel(xpoint, xgrid.reshape(-1, D), params)  # (Np, Ni*npts)
+    Kpis = Kpis.reshape(Np, Ni, npts)
+    dists = jnp.sqrt(jnp.sum(xintegrated**2, axis=-1))
+    return jnp.mean(Kpis, axis=-1) * dists[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-side Gauss-Legendre quadrature oracles (numpy; build-time / tests).
+# ---------------------------------------------------------------------------
+
+
+def _gl_nodes(n: int, lo: float = 0.0, hi: float = 1.0):
+    x, w = np.polynomial.legendre.leggauss(n)
+    x = 0.5 * (hi - lo) * x + 0.5 * (hi + lo)
+    w = 0.5 * (hi - lo) * w
+    return x, w
+
+
+def k_semi_quad(kernel_np: Callable, xpoint: np.ndarray, xint: np.ndarray, order: int = 200) -> np.ndarray:
+    """High-order quadrature oracle for the semi-integrated kernel.
+
+    kernel_np(x, y) -> (N, M) numpy. Returns (Npoint, Nint).
+    """
+    xpoint = np.asarray(xpoint, dtype=np.float64)
+    xint = np.asarray(xint, dtype=np.float64)
+    t, w = _gl_nodes(order)
+    Ni, D = xint.shape
+    # (Ni*order, D) ray points
+    pts = (xint[:, None, :] * t[None, :, None]).reshape(-1, D)
+    K = np.asarray(kernel_np(xpoint, pts)).reshape(len(xpoint), Ni, order)
+    dists = np.sqrt(np.sum(xint**2, axis=-1))
+    return np.einsum("pio,o->pi", K, w) * dists[None, :]
+
+
+def k_doubly_diag_quad(kernel_np: Callable, x: np.ndarray, order: int = 100) -> np.ndarray:
+    """Quadrature oracle for the doubly-integrated diagonal: for each row x_n,
+    ||x_n||^2 * int_0^1 int_0^1 k(a x_n, b x_n) da db.  Returns (N,)."""
+    x = np.asarray(x, dtype=np.float64)
+    t, w = _gl_nodes(order)
+    N, D = x.shape
+    out = np.zeros(N)
+    W = np.outer(w, w)
+    for n in range(N):
+        pa = x[n][None, :] * t[:, None]  # (order, D)
+        K = np.asarray(kernel_np(pa, pa))  # (order, order)
+        out[n] = np.sum(W * K) * np.sum(x[n] ** 2)
+    return out
+
+
+class DoublyDiagInterpolator:
+    """Device-side linear interpolation of the doubly-integrated diagonal.
+
+    Builds a unit-parameter table g(d) = d^2 * int int k1(a d e, b d e) da db
+    on an N-point distance grid at construction (host quadrature), then
+    evaluates K~(x,x; sig2, ell) = ell^2 * sig2 * g(||x/ell||) by linear
+    interpolation with flat extrapolation of the last slope — matching the
+    reference interpolator semantics (`ziggy/kernels.py:183-218`).
+    """
+
+    def __init__(self, kernel, N: int = 50, dmax: float = 5.0, order: int = 100):
+        dgrid = np.linspace(0.0, dmax, N)
+
+        def kernel_np(a, b):
+            return np.asarray(
+                kernel(jnp.asarray(a, jnp.float64 if jax.config.x64_enabled else jnp.float32),
+                       jnp.asarray(b, jnp.float64 if jax.config.x64_enabled else jnp.float32),
+                       (1.0, 1.0))
+            )
+
+        xs = np.column_stack([dgrid, np.zeros(N)])
+        knn = k_doubly_diag_quad(kernel_np, xs, order=order)
+
+        slopes = (knn[1:] - knn[:-1]) / (dgrid[1:] - dgrid[:-1])
+        slopes = np.concatenate([slopes, slopes[-1:]])
+
+        self.distance_grid = jnp.asarray(dgrid)
+        self.slopes = jnp.asarray(slopes)
+        self.knn = jnp.asarray(knn)
+
+    def __call__(self, x: jnp.ndarray, params) -> jnp.ndarray:
+        sig2, ell = params
+        dists = jnp.sqrt(jnp.sum((x / ell) ** 2, axis=-1))
+        lower = jnp.clip(
+            jnp.sum(dists[:, None] > self.distance_grid[None, :], axis=-1) - 1,
+            0,
+            len(self.knn) - 1,
+        )
+        diff = dists - self.distance_grid[lower]
+        ivals = self.knn[lower] + self.slopes[lower] * diff
+        ell2 = jnp.asarray(ell, dists.dtype) ** 2
+        if jnp.ndim(ell2) > 0:  # ARD: reference scales by scalar ell^2; use mean
+            ell2 = jnp.mean(ell2)
+        return ell2 * sig2 * ivals

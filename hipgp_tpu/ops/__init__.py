@@ -1,0 +1,47 @@
+"""Structured linear algebra: BTTB/circulant FFT operators, batched PCG,
+differentiable solves, Golub-Kahan bidiagonalization."""
+from .bttb import (
+    BTTBSpectrum,
+    bttb_matvec,
+    circulant_embed,
+    dense_gram,
+    expanded_dims,
+    make_spectrum,
+    matmul_by_Cinv,
+    matmul_by_K,
+    matmul_by_R,
+    matmul_by_RT,
+    spectrum_from_column,
+    toeplitz_column,
+)
+from .cg import PCGResult, pcg, pcg_result, pcg_scan, pcg_trace
+from .solve import cholesky_whiten, gram_solve, inv_matmul, whiten
+from .bidiag import bidiag_solve, golub_kahan_bidiag
+from .tridiag import tridiagonal_solve
+
+__all__ = [
+    "BTTBSpectrum",
+    "bttb_matvec",
+    "circulant_embed",
+    "dense_gram",
+    "expanded_dims",
+    "make_spectrum",
+    "matmul_by_Cinv",
+    "matmul_by_K",
+    "matmul_by_R",
+    "matmul_by_RT",
+    "spectrum_from_column",
+    "toeplitz_column",
+    "PCGResult",
+    "pcg",
+    "pcg_result",
+    "pcg_scan",
+    "pcg_trace",
+    "cholesky_whiten",
+    "gram_solve",
+    "inv_matmul",
+    "whiten",
+    "bidiag_solve",
+    "golub_kahan_bidiag",
+    "tridiagonal_solve",
+]

@@ -1,0 +1,246 @@
+"""Block-Toeplitz-Toeplitz-Block (BTTB) structured operator, TPU-native.
+
+The Gram matrix of a stationary kernel evaluated on a Cartesian product grid of
+inducing points is (nested-level) symmetric BTTB.  Embedding it into a circulant
+tensor (mirror extension of the defining column along every grid dimension)
+diagonalizes it by the multi-dimensional DFT, giving O(M log M) matvecs and an
+exact O(M log M) "whitening" square root R with  K = R^T R  where
+R = C^{1/2}[:, :M] restricted to the original grid.
+
+Parity reference: `ziggy/misc/toeplitz_tensor.py` (ToeplitzTensor) in the HIP-GP
+code release — rebuilt here functionally for XLA: native complex dtypes via
+`jnp.fft.rfftn/irfftn` (the reference emulates complex numbers with a trailing
+dim-2 on torch<=1.7), pure-function matvecs over an immutable spectrum pytree,
+and batch shapes handled by vectorized reshapes instead of pre-registered
+scratch buffers.
+
+All matvecs operate on the *last* axis; arbitrary leading batch dims are
+supported and map onto a single fused pad->rFFT->scale->irFFT->crop pipeline
+that XLA tiles across the batch.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = [
+    "BTTBSpectrum",
+    "toeplitz_column",
+    "circulant_embed",
+    "make_spectrum",
+    "spectrum_from_column",
+    "bttb_matvec",
+    "matmul_by_K",
+    "matmul_by_RT",
+    "matmul_by_R",
+    "matmul_by_Cinv",
+    "expanded_dims",
+    "dense_gram",
+]
+
+# Eigenvalue floor for the circulant embedding.  Smooth kernels have fast-
+# decaying spectra; clamping keeps C (and hence the preconditioner and the
+# whitening sqrt) positive definite in finite precision.  Matches the
+# reference's clamp (`ziggy/misc/toeplitz_tensor.py:26`).
+DEFAULT_EIG_FLOOR = 1e-6
+
+
+def expanded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
+    """Circulant-embedding size per grid dim: m -> 2m-2 (m if m == 1)."""
+    return tuple(2 * d - 2 if d > 1 else d for d in dims)
+
+
+@struct.dataclass
+class BTTBSpectrum:
+    """Immutable pytree holding the BTTB column and its circulant spectrum.
+
+    Attributes:
+      column:   (*dims) Gram column k(x_0, X) over the grid (C order),
+                with the jitter nugget added at the origin.
+      eigs:     real half-spectrum of the circulant embedding on the rfftn
+                grid, clamped to ``eig_floor``; shape (*edims[:-1], edims[-1]//2+1).
+      dims:     static grid shape (m_1, ..., m_D).
+      edims:    static embedded shape (2m_d - 2 per dim).
+    """
+
+    column: jnp.ndarray
+    eigs: jnp.ndarray
+    dims: Tuple[int, ...] = struct.field(pytree_node=False)
+    edims: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @property
+    def M(self) -> int:
+        return math.prod(self.dims)
+
+    @property
+    def Mprime(self) -> int:
+        return math.prod(self.edims)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dims)
+
+
+def toeplitz_column(
+    xgrids: Sequence[jnp.ndarray],
+    kernel_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    jitter: float = 1e-3,
+) -> jnp.ndarray:
+    """First column of the Gram matrix of ``kernel_fn`` on the product grid.
+
+    ``kernel_fn(x, y)`` maps (N, D), (M, D) -> (N, M).  Returns shape (*dims).
+    The nugget ``jitter`` is added to the origin entry, matching the reference
+    (`ziggy/misc/toeplitz_tensor.py:127-133`).
+    """
+    dims = tuple(len(g) for g in xgrids)
+    mesh = jnp.meshgrid(*xgrids, indexing="ij")
+    pts = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)  # (M, D)
+    col = kernel_fn(pts[:1], pts)[0]  # (M,)
+    col = col.at[0].add(jitter)
+    return col.reshape(dims)
+
+
+def circulant_embed(col: jnp.ndarray) -> jnp.ndarray:
+    """Mirror-extend the Toeplitz column along every dim: (m,) -> (2m-2,).
+
+    The resulting tensor defines a (nested) circulant operator whose top-left
+    M x M block is the original BTTB Gram matrix.
+    """
+    out = col
+    for axis, m in enumerate(col.shape):
+        if m <= 1:
+            continue
+        rev = jnp.flip(out, axis=axis)
+        idx = [slice(None)] * out.ndim
+        idx[axis] = slice(1, -1)
+        out = jnp.concatenate([out, rev[tuple(idx)]], axis=axis)
+    return out
+
+
+def spectrum_from_column(
+    col: jnp.ndarray, eig_floor: float = DEFAULT_EIG_FLOOR
+) -> BTTBSpectrum:
+    """Build the clamped circulant half-spectrum from a Toeplitz column."""
+    dims = tuple(col.shape)
+    emb = circulant_embed(col)
+    edims = tuple(emb.shape)
+    # The circulant tensor is real and even-symmetric, so its DFT is real;
+    # rfftn gives the non-redundant half which is all we need for real
+    # input/output matvecs.
+    eigs = jnp.fft.rfftn(emb).real
+    eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
+    return BTTBSpectrum(column=col, eigs=eigs, dims=dims, edims=edims)
+
+
+def make_spectrum(
+    xgrids: Sequence[jnp.ndarray],
+    kernel_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    jitter: float = 1e-3,
+    eig_floor: float = DEFAULT_EIG_FLOOR,
+) -> BTTBSpectrum:
+    """Column + circulant embedding + clamped rFFT spectrum in one call.
+
+    Differentiable w.r.t. kernel hyperparameters closed over by ``kernel_fn``
+    (the whole pipeline is jnp ops), so spectra can sit on the hot path of
+    hyperparameter learning without a custom backward pass.
+    """
+    return spectrum_from_column(toeplitz_column(xgrids, kernel_fn, jitter), eig_floor)
+
+
+def _fft_axes(ndim: int) -> Tuple[int, ...]:
+    return tuple(range(-ndim, 0))
+
+
+def _apply_spectrum(
+    spec: BTTBSpectrum,
+    v: jnp.ndarray,
+    weights: jnp.ndarray,
+    in_expanded: bool,
+    out_expanded: bool,
+) -> jnp.ndarray:
+    """Core pipeline: reshape -> (zero-pad) -> rFFTn -> scale -> irFFTn -> (crop).
+
+    ``v`` has shape (..., M) if ``in_expanded`` is False else (..., M').
+    ``weights`` is a real half-spectrum broadcastable against the rfftn output.
+    """
+    dims, edims = spec.dims, spec.edims
+    nd = len(dims)
+    batch = v.shape[:-1]
+    axes = _fft_axes(nd)
+
+    if in_expanded:
+        x = v.reshape(batch + edims)
+    else:
+        x = v.reshape(batch + dims)
+        pad = [(0, 0)] * len(batch) + [(0, e - d) for d, e in zip(dims, edims)]
+        x = jnp.pad(x, pad)
+
+    fx = jnp.fft.rfftn(x, axes=axes)
+    fy = fx * weights
+    y = jnp.fft.irfftn(fy, s=edims, axes=axes)
+
+    if out_expanded:
+        return y.reshape(batch + (spec.Mprime,))
+    crop = tuple([slice(None)] * len(batch) + [slice(0, d) for d in dims])
+    return y[crop].reshape(batch + (spec.M,))
+
+
+def matmul_by_K(spec: BTTBSpectrum, v: jnp.ndarray) -> jnp.ndarray:
+    """K @ v for (..., M) vectors: embed, scale by eigs, crop."""
+    return _apply_spectrum(spec, v, spec.eigs, in_expanded=False, out_expanded=False)
+
+
+def matmul_by_RT(spec: BTTBSpectrum, v: jnp.ndarray) -> jnp.ndarray:
+    """R^T @ v: original space (..., M) -> whitened/expanded space (..., M')."""
+    return _apply_spectrum(
+        spec, v, jnp.sqrt(spec.eigs), in_expanded=False, out_expanded=True
+    )
+
+
+def matmul_by_R(spec: BTTBSpectrum, v: jnp.ndarray) -> jnp.ndarray:
+    """R @ v: expanded space (..., M') -> original space (..., M)."""
+    return _apply_spectrum(
+        spec, v, jnp.sqrt(spec.eigs), in_expanded=True, out_expanded=False
+    )
+
+
+def matmul_by_Cinv(spec: BTTBSpectrum, v: jnp.ndarray) -> jnp.ndarray:
+    """Circulant-inverse preconditioner: top-left block of C^{-1} applied to v."""
+    return _apply_spectrum(
+        spec, v, 1.0 / spec.eigs, in_expanded=False, out_expanded=False
+    )
+
+
+def bttb_matvec(spec: BTTBSpectrum, v: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Dispatch table over the four structured matvecs.
+
+    mode: 'gram' (Kv), 'rtv' (R^T v), 'rv' (Rv), 'cinv' (C^{-1}v).
+    Mirrors the reference's ``multiply_type`` contract
+    (`ziggy/misc/toeplitz_expanded.py:61-250`).
+    """
+    if mode == "gram":
+        return matmul_by_K(spec, v)
+    if mode == "rtv":
+        return matmul_by_RT(spec, v)
+    if mode == "rv":
+        return matmul_by_R(spec, v)
+    if mode == "cinv":
+        return matmul_by_Cinv(spec, v)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def dense_gram(
+    xgrids: Sequence[jnp.ndarray],
+    kernel_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    jitter: float = 1e-3,
+) -> jnp.ndarray:
+    """Materialize the dense M x M Gram matrix (test oracle; O(M^2) memory)."""
+    mesh = jnp.meshgrid(*xgrids, indexing="ij")
+    pts = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+    K = kernel_fn(pts, pts)
+    return K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)

@@ -1,0 +1,133 @@
+"""BTTB operator correctness against dense oracles (1-D/2-D/3-D grids)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipgp_tpu.kernels import Matern, SqExp
+from hipgp_tpu.ops import (
+    circulant_embed,
+    dense_gram,
+    expanded_dims,
+    make_spectrum,
+    matmul_by_Cinv,
+    matmul_by_K,
+    matmul_by_R,
+    matmul_by_RT,
+    toeplitz_column,
+)
+
+JITTER = 1e-3
+PARAMS = (1.3, 0.1)  # ell small enough that the circulant embedding is PSD (no clamp)
+
+
+def _grids(dims):
+    return [jnp.linspace(0.0, 1.0, m) for m in dims]
+
+
+def _kfun(kernel=None):
+    kernel = kernel or SqExp()
+    return lambda x, y: kernel(x, y, PARAMS)
+
+
+@pytest.mark.parametrize("dims", [(17,), (9, 7), (5, 4, 3)])
+def test_column_matches_dense_first_row(dims):
+    grids = _grids(dims)
+    col = toeplitz_column(grids, _kfun(), jitter=JITTER)
+    K = dense_gram(grids, _kfun(), jitter=JITTER)
+    np.testing.assert_allclose(np.asarray(col).ravel(), np.asarray(K[0]), rtol=1e-12)
+
+
+@pytest.mark.parametrize("dims", [(17,), (9, 7), (5, 4, 3)])
+@pytest.mark.parametrize("kernel", [SqExp(), Matern(2.5)])
+def test_gram_matvec_matches_dense(dims, kernel, rng):
+    grids = _grids(dims)
+    spec = make_spectrum(grids, _kfun(kernel), jitter=JITTER)
+    K = dense_gram(grids, _kfun(kernel), jitter=JITTER)
+    M = K.shape[0]
+    v = jnp.asarray(rng.standard_normal((4, M)))
+    got = matmul_by_K(spec, v)
+    want = v @ K.T  # K symmetric
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("dims", [(17,), (9, 7)])
+def test_R_RT_factorize_K(dims, rng):
+    """R R^T = K: whitening consistency. R^T: M->M', R: M'->M."""
+    grids = _grids(dims)
+    spec = make_spectrum(grids, _kfun(), jitter=JITTER)
+    K = dense_gram(grids, _kfun(), jitter=JITTER)
+    M = K.shape[0]
+    v = jnp.asarray(rng.standard_normal((3, M)))
+    rrt_v = matmul_by_R(spec, matmul_by_RT(spec, v))
+    want = v @ K.T
+    np.testing.assert_allclose(np.asarray(rrt_v), np.asarray(want), rtol=1e-8, atol=1e-9)
+
+
+def test_rt_output_shape():
+    dims = (9, 7)
+    grids = _grids(dims)
+    spec = make_spectrum(grids, _kfun())
+    assert spec.edims == expanded_dims(dims) == (16, 12)
+    v = jnp.ones((2, spec.M))
+    assert matmul_by_RT(spec, v).shape == (2, 16 * 12)
+
+
+def test_cinv_is_inverse_on_circulant(rng):
+    """C^{-1} composed with C acts as identity on the expanded space;
+    on the original space it is only a preconditioner, so test via the
+    expanded circulant operator directly."""
+    dims = (9, 7)
+    grids = _grids(dims)
+    spec = make_spectrum(grids, _kfun())
+    # Build dense circulant operator by applying "embed->scale->extract full".
+    Mp = spec.Mprime
+    v = jnp.asarray(rng.standard_normal((2, Mp)))
+
+    def c_apply(w):
+        x = w.reshape((-1,) + spec.edims)
+        fx = jnp.fft.rfftn(x, axes=(-2, -1))
+        return jnp.fft.irfftn(fx * spec.eigs, s=spec.edims, axes=(-2, -1)).reshape(
+            w.shape[0], -1
+        )
+
+    def cinv_apply(w):
+        x = w.reshape((-1,) + spec.edims)
+        fx = jnp.fft.rfftn(x, axes=(-2, -1))
+        return jnp.fft.irfftn(fx / spec.eigs, s=spec.edims, axes=(-2, -1)).reshape(
+            w.shape[0], -1
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(cinv_apply(c_apply(v))), np.asarray(v), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_circulant_embed_shape_and_symmetry():
+    col = jnp.arange(5.0)
+    emb = circulant_embed(col)
+    assert emb.shape == (8,)
+    np.testing.assert_allclose(np.asarray(emb), [0, 1, 2, 3, 4, 3, 2, 1])
+
+
+def test_spectrum_positive():
+    grids = _grids((25, 25))
+    spec = make_spectrum(grids, _kfun(), jitter=1e-3)
+    assert np.all(np.asarray(spec.eigs) >= 1e-6)
+
+
+def test_matvec_f32_close_to_f64(rng):
+    """f32 path (TPU dtype) stays within a few ulps of the f64 oracle."""
+    dims = (16, 16)
+    grids32 = [g.astype(jnp.float32) for g in _grids(dims)]
+    grids64 = _grids(dims)
+    spec32 = make_spectrum(grids32, _kfun())
+    spec64 = make_spectrum(grids64, _kfun())
+    v64 = jnp.asarray(rng.standard_normal((2, spec64.M)))
+    v32 = v64.astype(jnp.float32)
+    got32 = matmul_by_K(spec32, v32)
+    got64 = matmul_by_K(spec64, v64)
+    assert got32.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got32), np.asarray(got64), rtol=2e-4, atol=2e-5
+    )
