@@ -1,5 +1,7 @@
 """Model layer: HIP-GP variational families, dense SVGP baseline,
 derivative-observation GPs, exact-GP oracles."""
 from .hipgp import HIPGP, HIPGPState
+from .svgp import SVGP, SVGPState
+from . import derivative_gp
 
-__all__ = ["HIPGP", "HIPGPState"]
+__all__ = ["HIPGP", "HIPGPState", "SVGP", "SVGPState", "derivative_gp"]
