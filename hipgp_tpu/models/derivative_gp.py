@@ -132,7 +132,8 @@ def svgp_batch_solve(
     (`ziggy/exact_gp_1d_derivatives.py:77-155`).  Returns (m (M',), S (M',M')).
     """
     M = u.shape[0]
-    Mp = 2 * M - 2 if whitened_type == "ziggy" else M
+    from ..ops.bttb import embedded_dims
+    Mp = embedded_dims((M,))[0] if whitened_type == "ziggy" else M
     Lam = jnp.eye(Mp, dtype=u.dtype)
     b = jnp.zeros((Mp,), u.dtype)
 

@@ -32,7 +32,7 @@ from flax import struct
 
 from ..kernels import DoublyDiagInterpolator, k_semi_mc, k_semi_sqexp
 from ..ops import make_spectrum, matmul_by_R, whiten
-from ..ops.bttb import BTTBSpectrum, expanded_dims
+from ..ops.bttb import BTTBSpectrum, embedded_dims
 from ..utils import blocks as blk
 from ..utils import stats
 
@@ -125,7 +125,7 @@ class HIPGP:
         self.ndim = len(self.dims)
 
         if whitened_type == "ziggy":
-            self.edims = expanded_dims(self.dims)
+            self.edims = embedded_dims(self.dims)
             self.Mprime = int(np.prod(self.edims))
         else:
             self.edims = self.dims
@@ -517,6 +517,67 @@ class HIPGP:
     # closed-form full-batch solve
     # ------------------------------------------------------------------
 
+    def accumulate_lam_b(
+        self,
+        state: HIPGPState,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        ivar: jnp.ndarray,
+        maxiter_cg: int = 10,
+        integrated_obs: bool = False,
+        semi_integrated_estimator: str = "analytic",
+        semi_integrated_samps: int = 10,
+        key: Optional[jax.Array] = None,
+        spec: Optional[BTTBSpectrum] = None,
+    ):
+        """One batch's additive contributions to the information-form solve:
+        (lam, b, big) WITHOUT prior identities.  ``ivar`` is the per-row
+        inverse noise variance with any padding mask already folded in.
+
+        This is the unit of data parallelism: contributions are plain sums,
+        so sharded batches combine with a single psum (see `parallel.dp`).
+        """
+        Knm, _ = self.make_grams(
+            state, x, integrated_obs, semi_integrated_estimator,
+            semi_integrated_samps, key,
+        )
+        kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg, spec=spec)
+        y = y.reshape(-1)
+        lam = self.get_lam(ivar, kn, bscale=1.0, add_identity=False)
+        b = kn.T @ (ivar * y)
+        big = (
+            jnp.einsum("bi,bj,b->ij", kn, kn, ivar)
+            if self.family != "full-rank"
+            else None
+        )
+        return lam, b, big
+
+    def finalize_from_lam_b(self, state: HIPGPState, lam, b, big) -> HIPGPState:
+        """Turn accumulated (lam, b, big) — prior identities NOT included —
+        into the optimal variational state (`ziggy/hipgp.py:327-345`)."""
+        lam = lam + self.get_lam(
+            jnp.zeros((1,), self.dtype),
+            jnp.zeros((1, self.Mprime), self.dtype),
+            add_identity=True,
+        )
+        if big is not None:
+            big = big + jnp.eye(self.Mprime, dtype=self.dtype)
+
+        if self.parameterization == "standard":
+            S = self._S_from_lam(lam)
+            m = S @ b if self.family == "full-rank" else jnp.linalg.solve(big, b)
+            return state.replace(theta1=m, theta2=S)
+        theta2 = -0.5 * lam
+        if self.family == "mean-field":
+            mhat = jnp.linalg.solve(big, b)
+            theta1 = mhat * lam
+        elif self.family == "block":
+            mhat = jnp.linalg.solve(big, b)
+            theta1 = self.block_diag_multiply(lam, mhat[None, :])[0]
+        else:
+            theta1 = b
+        return state.replace(theta1=theta1, theta2=theta2)
+
     def batch_solve(
         self,
         state: HIPGPState,
@@ -581,15 +642,23 @@ class HIPGP:
         def accum(carry, inp):
             lam_acc, b_acc, big_acc = carry
             xb, yb, wb, kb, nsb = inp
-            kn, _ = kn_of(xb, kb)
             if nsb is not None:
                 ivar = wb / (nsb * nsb)
             else:
                 ivar = wb * jnp.exp(-state.log_noise2)
-            lam_acc = lam_acc + self.get_lam(ivar, kn, bscale=1.0, add_identity=False)
-            b_acc = b_acc + kn.T @ (ivar * yb)
+            lam, b, big = self.accumulate_lam_b(
+                state, xb, yb, ivar,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                key=kb,
+                spec=spec,
+            )
+            lam_acc = lam_acc + lam
+            b_acc = b_acc + b
             if need_big:
-                big_acc = big_acc + jnp.einsum("bi,bj,b->ij", kn, kn, ivar)
+                big_acc = big_acc + big
             return (lam_acc, b_acc, big_acc), None
 
         lam0 = jax.tree.map(
@@ -611,32 +680,9 @@ class HIPGP:
                 accum, (lam0, b0, big0), (xp, yp, w, keys, nsp)
             )
 
-        # add prior identity
-        lam = self.get_lam(
-            jnp.zeros((1,), self.dtype), jnp.zeros((1, self.Mprime), self.dtype),
-            add_identity=True,
-        ) + lam
-        if need_big:
-            big = big + jnp.eye(self.Mprime, dtype=self.dtype)
-
-        if self.parameterization == "standard":
-            S = self._S_from_lam(lam)
-            if self.family == "full-rank":
-                m = S @ b
-            else:
-                m = jnp.linalg.solve(big, b)
-            new_state = state.replace(theta1=m, theta2=S)
-        else:
-            theta2 = -0.5 * lam
-            if self.family == "mean-field":
-                mhat = jnp.linalg.solve(big, b)
-                theta1 = mhat * lam
-            elif self.family == "block":
-                mhat = jnp.linalg.solve(big, b)
-                theta1 = self.block_diag_multiply(lam, mhat[None, :])[0]
-            else:
-                theta1 = b
-            new_state = state.replace(theta1=theta1, theta2=theta2)
+        new_state = self.finalize_from_lam_b(
+            state, lam, b, big if need_big else None
+        )
 
         if not compute_elbo:
             return new_state

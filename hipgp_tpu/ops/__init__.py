@@ -6,6 +6,8 @@ from .bttb import (
     circulant_embed,
     dense_gram,
     expanded_dims,
+    embedded_dims,
+    next_fast_len,
     make_spectrum,
     matmul_by_Cinv,
     matmul_by_K,
@@ -25,6 +27,8 @@ __all__ = [
     "circulant_embed",
     "dense_gram",
     "expanded_dims",
+    "embedded_dims",
+    "next_fast_len",
     "make_spectrum",
     "matmul_by_Cinv",
     "matmul_by_K",

@@ -40,6 +40,8 @@ __all__ = [
     "matmul_by_R",
     "matmul_by_Cinv",
     "expanded_dims",
+    "embedded_dims",
+    "next_fast_len",
     "dense_gram",
 ]
 
@@ -51,8 +53,42 @@ DEFAULT_EIG_FLOOR = 1e-6
 
 
 def expanded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
-    """Circulant-embedding size per grid dim: m -> 2m-2 (m if m == 1)."""
+    """Minimal circulant-embedding size per grid dim: m -> 2m-2 (m if m == 1)."""
     return tuple(2 * d - 2 if d > 1 else d for d in dims)
+
+
+def next_fast_len(n: int) -> int:
+    """Smallest L >= n whose prime factors are all in {2, 3, 5, 7}.
+
+    TPU-specific constraint: XLA's TPU FFT handles smooth lengths natively
+    but lowers any other length to a dense L x L DFT matmul — O(L^2) memory,
+    fatal at L ~ 1e6.  The minimal embedding length 2m-2 is rarely smooth,
+    so spectra are built on the padded smooth length instead (the circulant
+    embedding is valid for ANY L >= 2m-2; see :func:`make_spectrum`).
+    """
+    if n <= 1:
+        return 1
+    best = 1 << (n - 1).bit_length()  # next power of two always works
+    p7 = 1
+    while p7 < best:
+        p5 = p7
+        while p5 < best:
+            p3 = p5
+            while p3 < best:
+                p2 = p3
+                while p2 < n:
+                    p2 *= 2
+                if p2 < best:
+                    best = p2
+                p3 *= 3
+            p5 *= 5
+        p7 *= 7
+    return best
+
+
+def embedded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
+    """Actual (FFT-friendly) embedding size per grid dim."""
+    return tuple(next_fast_len(e) for e in expanded_dims(dims))
 
 
 @struct.dataclass
@@ -142,14 +178,48 @@ def make_spectrum(
     kernel_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     jitter: float = 1e-3,
     eig_floor: float = DEFAULT_EIG_FLOOR,
+    pad_to_fast: bool = True,
 ) -> BTTBSpectrum:
     """Column + circulant embedding + clamped rFFT spectrum in one call.
+
+    The embedding length per dim is padded from the minimal 2m-2 up to the
+    next {2,3,5,7}-smooth length (see :func:`next_fast_len`) by evaluating
+    the stationary kernel at *wrapped lags*: the circulant defined by
+    c_j = k(tau_j) with tau_j[d] = min(j_d, L_d - j_d) * h_d has the exact
+    BTTB Gram as its top-left M x M block for any L_d >= 2 m_d - 2, so
+    padding changes only the whitened basis dimension, never K itself.
+    Requires uniformly spaced grids (as does the Toeplitz structure itself).
 
     Differentiable w.r.t. kernel hyperparameters closed over by ``kernel_fn``
     (the whole pipeline is jnp ops), so spectra can sit on the hot path of
     hyperparameter learning without a custom backward pass.
     """
-    return spectrum_from_column(toeplitz_column(xgrids, kernel_fn, jitter), eig_floor)
+    if not pad_to_fast:
+        return spectrum_from_column(
+            toeplitz_column(xgrids, kernel_fn, jitter), eig_floor
+        )
+    dims = tuple(len(g) for g in xgrids)
+    edims = embedded_dims(dims)
+    # wrapped-lag coordinates per dim: x0 + min(j, L-j) * h
+    coords = []
+    for g, L in zip(xgrids, edims):
+        g = jnp.asarray(g)
+        if L == 1:
+            coords.append(g[:1])
+            continue
+        h = g[1] - g[0]
+        j = jnp.arange(L, dtype=g.dtype)
+        lag = jnp.minimum(j, L - j) * h
+        coords.append(g[0] + lag)
+    mesh = jnp.meshgrid(*coords, indexing="ij")
+    pts = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+    c = kernel_fn(pts[:1], pts)[0]
+    c = c.at[0].add(jitter)
+    emb = c.reshape(edims)
+    eigs = jnp.fft.rfftn(emb).real
+    eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
+    col_idx = tuple(slice(0, d) for d in dims)
+    return BTTBSpectrum(column=emb[col_idx], eigs=eigs, dims=dims, edims=edims)
 
 
 def _fft_axes(ndim: int) -> Tuple[int, ...]:

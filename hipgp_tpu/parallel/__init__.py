@@ -1,1 +1,15 @@
-"""(populated incrementally)"""
+"""TPU parallelism: device meshes, exact data-parallel solves/training,
+grid-sharded FFT solves."""
+from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
+from .dp import dp_batch_solve, dp_elbo_and_grads, make_dp_train_step
+
+__all__ = [
+    "NamedSharding",
+    "P",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "dp_batch_solve",
+    "dp_elbo_and_grads",
+    "make_dp_train_step",
+]

@@ -1,0 +1,99 @@
+"""Data parallelism on an 8-virtual-device CPU mesh: sharded results must
+match the single-device path bit-for-bit up to reduction order."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipgp_tpu.kernels import SqExp
+from hipgp_tpu.models import HIPGP
+from hipgp_tpu.parallel import (
+    dp_batch_solve,
+    dp_elbo_and_grads,
+    make_dp_train_step,
+    make_mesh,
+)
+
+
+def setup(n=64, family="mean-field", whitened="cholesky"):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.05, 0.95, (n, 2)))
+    f = np.sin(4 * np.asarray(x[:, 0]))
+    y = jnp.asarray(f + 0.2 * rng.standard_normal(n))
+    s = jnp.asarray(np.full(n, 0.2))
+    grids = [jnp.linspace(0.0, 1.0, 6)] * 2
+    model = HIPGP(SqExp(), grids, num_obs=n, family=family,
+                  whitened_type=whitened, ell_init=0.2, noise2_init=0.04)
+    return model, model.init_state(), x, y, s
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("family", ["mean-field", "full-rank", "block"])
+@pytest.mark.parametrize("whitened", ["cholesky", "ziggy"])
+def test_dp_batch_solve_matches_single_device(family, whitened):
+    if family == "block":
+        _, _, x, y, s = setup(family="mean-field", whitened=whitened)
+        model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 6)] * 2, num_obs=64,
+                      family="block", whitened_type=whitened,
+                      block_sizes=(5, 5) if whitened == "ziggy" else (3, 3),
+                      ell_init=0.2, noise2_init=0.04)
+        st = model.init_state()
+    else:
+        model, st, x, y, s = setup(family=family, whitened=whitened)
+    mesh = make_mesh(8)
+    solved_dp = dp_batch_solve(model, st, x, y, s, mesh, maxiter_cg=200)
+    # same micro-batch size (64/8 = 8 rows) so the PCG early-exit groups
+    # match; then dp must agree to reduction-order precision
+    solved_1d = model.batch_solve(st, x, y, s, batch_size=8, maxiter_cg=200)
+    np.testing.assert_allclose(
+        np.asarray(solved_dp.theta1), np.asarray(solved_1d.theta1), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(solved_dp.theta2), np.asarray(solved_1d.theta2), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_dp_batch_solve_uneven_n():
+    """N not divisible by device count: padding/masking keeps it exact."""
+    model, st, x, y, s = setup(n=61)
+    mesh = make_mesh(8)
+    solved_dp = dp_batch_solve(model, st, x, y, s, mesh)
+    solved_1d = model.batch_solve(st, x, y, s)
+    np.testing.assert_allclose(
+        np.asarray(solved_dp.theta1), np.asarray(solved_1d.theta1), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_dp_elbo_and_grads_matches():
+    model, st, x, y, s = setup()
+    mesh = make_mesh(8)
+    step = dp_elbo_and_grads(model, mesh, maxiter_cg=50)
+    w = jnp.ones(x.shape[0], model.dtype)
+    e_dp, g_dp = step(st, x, y, s, w)
+    e_1d, g_1d = model.elbo_and_grads(st, x, y, s, maxiter_cg=50, weights=w)
+    np.testing.assert_allclose(float(e_dp), float(e_1d), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_dp.theta1), np.asarray(g_1d.theta1), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_dp.theta2), np.asarray(g_1d.theta2), rtol=1e-8, atol=1e-10)
+
+
+def test_dp_train_step_runs_and_improves():
+    import optax
+    from hipgp_tpu.infer import FitConfig
+    from hipgp_tpu.infer.fit import make_optimizer
+
+    model, st, x, y, s = setup()
+    mesh = make_mesh(8)
+    cfg = FitConfig(lr=0.05, maxiter_cg=50)
+    opt = make_optimizer(st, cfg)
+    opt_state = opt.init(st)
+    step = make_dp_train_step(model, cfg, opt, mesh)
+    w = jnp.ones(x.shape[0], model.dtype)
+    elbos = []
+    for _ in range(10):
+        st, opt_state, elbo = step(st, opt_state, x, y, s, w)
+        elbos.append(float(elbo))
+    assert elbos[-1] > elbos[0]
