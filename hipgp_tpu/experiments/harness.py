@@ -1,0 +1,349 @@
+"""Experiment harness: fit, predict, evaluate, and persist one run.
+
+Parity reference: `ziggy/misc/experiment_util.py:13-233`
+(svigp_fit_predict_and_save) + `:744-972` (standard_epoch_callback), rebuilt
+around the pure model/infer layers: a typed config, npz checkpoints with
+true resume support, prediction archives, metrics CSVs matching the
+reference's schemas (noise_reduction.csv, coverage_table.csv,
+time_report.csv, elbo trace), and figures.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .. import viz
+from ..infer import FitConfig, batch_predict, svigp_fit
+from ..kernels import kernel_from_name
+from ..models import HIPGP, SVGP
+from ..utils import checkpoint as ckpt
+from ..utils import metrics
+
+__all__ = ["fit_predict_and_save", "make_model", "evaluate_and_save"]
+
+
+def make_model(
+    model_class: str,
+    kernel_name: str,
+    xinduce_grids: Sequence[np.ndarray],
+    num_obs: int,
+    sig2_init: float,
+    ell_init: float,
+    noise2_init: float = 1.0,
+    init_Svar: float = 1.0,
+    whitened_type: str = "ziggy",
+    learn_kernel: bool = False,
+    learn_noise: bool = False,
+    jitter: float = 1e-3,
+    block_sizes: Optional[Sequence[int]] = None,
+    support_integrated_obs: bool = False,
+    dtype=jnp.float32,
+):
+    """Model factory matching the reference CLI contract
+    (`experiment_util.py:104-165`): model_class in {'mean-field',
+    'block-diagonal[-*]', 'full-rank', 'SVGP'}."""
+    kern = kernel_from_name(kernel_name)
+    grids = [jnp.asarray(g, dtype) for g in xinduce_grids]
+    common = dict(
+        num_obs=num_obs,
+        sig2_init=sig2_init,
+        ell_init=ell_init,
+        noise2_init=noise2_init,
+        init_Svar=init_Svar,
+        whitened_type=whitened_type,
+        learn_kernel=learn_kernel,
+        learn_noise=learn_noise,
+        jitter=jitter,
+        support_integrated_obs=support_integrated_obs,
+        dtype=dtype,
+    )
+    if model_class == "mean-field":
+        return HIPGP(kern, grids, family="mean-field", **common)
+    if model_class.startswith("block-diagonal") or model_class == "block":
+        return HIPGP(kern, grids, family="block", block_sizes=block_sizes, **common)
+    if model_class == "full-rank":
+        # reference uses the 'standard' parameterization for full-rank
+        return HIPGP(
+            kern, grids, family="full-rank", parameterization="standard", **common
+        )
+    if model_class == "SVGP":
+        mesh = jnp.meshgrid(*grids, indexing="ij")
+        xinduce = jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
+        return SVGP(
+            kern,
+            xinduce,
+            num_obs=num_obs,
+            whitened=False,
+            sig2_init=sig2_init,
+            ell_init=ell_init,
+            init_Svar=init_Svar,
+            jitter=jitter,
+            support_integrated_obs=support_integrated_obs,
+            dtype=dtype,
+        )
+    raise ValueError(
+        f"model_class={model_class!r}; choose mean-field | block-diagonal | "
+        "full-rank | SVGP"
+    )
+
+
+def empirical_sig2_init(xobs: np.ndarray, yobs: np.ndarray) -> float:
+    """Distance-slope regression init for the marginal variance
+    (`experiment_util.py:71-76`)."""
+    dobs = np.sqrt(np.sum(np.asarray(xobs) ** 2, axis=-1))
+    y = np.asarray(yobs).reshape(-1, 1)
+    slope, *_ = np.linalg.lstsq(dobs[:, None], y, rcond=None)
+    return float(slope[0, 0] ** 2)
+
+
+def evaluate_and_save(
+    odir: str,
+    model,
+    state,
+    *,
+    xtest=None, ftest=None, etest=None,
+    xvalid=None, fvalid=None, evalid=None,
+    xgrid=None, fgrid=None, egrid=None,
+    do_integrated_predictions: bool = False,
+    predict_maxiter_cg: int = 50,
+    predict_ksemi_method: str = "analytic",
+    predict_ksemi_samps: int = 200,
+    elbo_trace=None,
+    hyper_traces: Optional[Dict] = None,
+    data_noise_std: Optional[float] = None,
+    train_elbo: Optional[float] = None,
+    predict_batch_size: int = 1000,
+    make_plots: bool = True,
+    grid_shape=None,
+    grid_extent=None,
+):
+    """The standard epoch callback: checkpoint, predict on
+    valid/test/grid (latent + optionally integrated), write metrics CSVs and
+    figures.  Returns (pdict, eval_times)."""
+    os.makedirs(odir, exist_ok=True)
+    ckpt.save_checkpoint(odir, state)
+    if elbo_trace is not None:
+        np.save(os.path.join(odir, "elbo_trace.npy"), np.asarray(elbo_trace))
+        if make_plots:
+            viz.plot_elbo_trace(elbo_trace, os.path.join(odir, "elbo.jpg"))
+    for nm, tr in (hyper_traces or {}).items():
+        if tr:
+            np.save(os.path.join(odir, f"{nm}_trace.npy"), np.asarray(tr))
+
+    pdict: Dict[str, np.ndarray] = {}
+    times: Dict[str, float] = {}
+
+    def run_predictions(tag, x, f_true, e_true):
+        if x is None:
+            return
+        x = jnp.asarray(x, model.dtype)
+        t0 = time.time()
+        fmu, fsig = batch_predict(
+            model, state, x, batch_size=predict_batch_size,
+            maxiter_cg=predict_maxiter_cg,
+        )
+        times[f"f{tag}_eval"] = time.time() - t0
+        pdict[f"fmu_{tag}"] = np.asarray(fmu)
+        pdict[f"fsig_{tag}"] = np.asarray(fsig)
+        if f_true is not None:
+            pdict[f"f{tag}"] = np.asarray(f_true).reshape(-1)
+        if do_integrated_predictions:
+            t0 = time.time()
+            emu, esig = batch_predict(
+                model, state, x, batch_size=predict_batch_size,
+                maxiter_cg=predict_maxiter_cg,
+                integrated_obs=True,
+                semi_integrated_estimator=predict_ksemi_method,
+                semi_integrated_samps=predict_ksemi_samps,
+            )
+            times[f"e{tag}_eval"] = time.time() - t0
+            pdict[f"emu_{tag}"] = np.asarray(emu)
+            pdict[f"esig_{tag}"] = np.asarray(esig)
+            if e_true is not None:
+                pdict[f"e{tag}"] = np.asarray(e_true).reshape(-1)
+
+    run_predictions("valid", xvalid, fvalid, evalid)
+    run_predictions("test", xtest, ftest, etest)
+    run_predictions("grid", xgrid, fgrid, egrid)
+
+    ckpt.save_predictions(os.path.join(odir, "predictions.npz"), pdict)
+
+    # metrics CSVs (reference: errordf-summary.csv, noise_reduction.csv,
+    # coverage_table.csv)
+    if "ftest" in pdict:
+        df = metrics.error_frame({"model": pdict}, data_type="test")
+        df.describe().to_csv(os.path.join(odir, "errordf-summary.csv"))
+        if data_noise_std is not None:
+            ndf = metrics.noise_comparison_frame(
+                pdict, data_noise_std,
+                integrated_obs=do_integrated_predictions and "etest" in pdict,
+                train_elbo=train_elbo,
+                eval_valid="fvalid" in pdict,
+            )
+            ndf.to_csv(os.path.join(odir, "noise_reduction.csv"))
+        z = {"model": np.asarray(df["f zscore"])}
+        if do_integrated_predictions and "etest" in pdict:
+            z["model e"] = np.asarray(df["e zscore"])
+        metrics.coverage_table(z).to_csv(os.path.join(odir, "coverage_table.csv"))
+        if make_plots:
+            viz.plot_zscore_histogram(
+                z["model"], path=os.path.join(odir, "f-zscore-histogram.pdf")
+            )
+            viz.plot_qq(z, path=os.path.join(odir, "qq.pdf"))
+
+    if make_plots and "fmu_grid" in pdict and grid_shape is not None:
+        extent = grid_extent or (0, 1, 0, 1)
+        viz.plot_posterior_grid(
+            pdict["fmu_grid"], pdict["fsig_grid"], grid_shape, extent,
+            path=os.path.join(odir, "posterior-grid.jpg"),
+        )
+        if fgrid is not None:
+            viz.plot_comparison(
+                np.asarray(fgrid).reshape(grid_shape),
+                pdict["fmu_grid"].reshape(grid_shape),
+                extent,
+                path=os.path.join(odir, "comparison-grid.jpg"),
+            )
+    return pdict, times
+
+
+def fit_predict_and_save(
+    name: str,
+    xobs, yobs, sobs,
+    xinduce_grids,
+    model_class: str = "mean-field",
+    kernel: str = "SqExp",
+    sig2_init="empirical",
+    ell_init: float = 0.05,
+    noise2_init: float = 1.0,
+    init_Svar: float = 1.0,
+    whitened_type: str = "ziggy",
+    block_sizes: Optional[Sequence[int]] = None,
+    jitter: float = 1e-3,
+    fit_method: str = "natgrad",
+    fit_config: Optional[FitConfig] = None,
+    batch_solve_bsz: int = -1,
+    maxiter_cg: int = 10,
+    xtest=None, etest=None, ftest=None,
+    xvalid=None, evalid=None, fvalid=None,
+    xgrid=None, egrid=None, fgrid=None,
+    grid_shape=None, grid_extent=None,
+    output_dir: str = "./model-output/",
+    eval_epochs: bool = False,
+    dtype=jnp.float32,
+):
+    """Fit + evaluate one model, persisting all artifacts under
+    ``output_dir/name`` — the single entry point every experiment driver
+    calls (reference `experiment_util.py:13-233`).
+
+    Returns (model, state, report).
+    """
+    odir = os.path.join(output_dir, name)
+    os.makedirs(odir, exist_ok=True)
+
+    xobs = np.asarray(xobs)
+    yobs = np.asarray(yobs).reshape(-1)
+    sobs = None if sobs is None else np.asarray(sobs).reshape(-1)
+
+    if sig2_init == "empirical":
+        sig2_init = empirical_sig2_init(xobs, yobs)
+
+    cfg = fit_config or FitConfig()
+    cfg = dataclasses.replace(cfg, maxiter_cg=maxiter_cg)
+    integrated = cfg.integrated_obs
+
+    model = make_model(
+        model_class, kernel, xinduce_grids,
+        num_obs=len(xobs),
+        sig2_init=float(sig2_init),
+        ell_init=ell_init,
+        noise2_init=noise2_init,
+        init_Svar=init_Svar,
+        whitened_type=whitened_type,
+        learn_kernel=cfg.learn_kernel,
+        learn_noise=cfg.learn_noise,
+        jitter=jitter,
+        block_sizes=block_sizes,
+        support_integrated_obs=integrated,
+        dtype=dtype,
+    )
+    state = model.init_state() if hasattr(model, "init_state") else None
+
+    with open(os.path.join(odir, "fit_params.json"), "w") as f:
+        json.dump(
+            {
+                "model_class": model_class, "kernel": kernel,
+                "sig2_init": float(sig2_init), "ell_init": float(ell_init),
+                "whitened_type": whitened_type, "fit_method": fit_method,
+                **{k: v for k, v in dataclasses.asdict(cfg).items()
+                   if isinstance(v, (int, float, str, bool))},
+            },
+            f, indent=2,
+        )
+
+    report: Dict = {}
+    t_start = time.time()
+    if fit_method == "natgrad":
+        state, report = svigp_fit(
+            model, state, xobs, yobs, sobs, cfg,
+            verbose=True,
+        )
+        train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
+    elif fit_method == "full-batch":
+        import jax
+
+        solve = jax.jit(
+            lambda st: model.batch_solve(
+                st,
+                jnp.asarray(xobs, model.dtype),
+                jnp.asarray(yobs, model.dtype),
+                None if sobs is None else jnp.asarray(sobs, model.dtype),
+                batch_size=batch_solve_bsz,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated,
+                semi_integrated_estimator=cfg.semi_integrated_estimator,
+                semi_integrated_samps=cfg.num_semi_mc_samples,
+                compute_elbo=True,
+            )
+        )
+        state, elbo = solve(state)
+        train_elbo = float(elbo)
+        report = {"elbo_trace": [train_elbo], "epoch_elbos": [train_elbo]}
+        print(f"batch solve elbo = {train_elbo:.5f}")
+    else:
+        raise ValueError(f"fit_method={fit_method!r}")
+    fitting_time = time.time() - t_start
+
+    pdict, eval_times = evaluate_and_save(
+        odir, model, state,
+        xtest=xtest, ftest=ftest, etest=etest,
+        xvalid=xvalid, fvalid=fvalid, evalid=evalid,
+        xgrid=xgrid, fgrid=fgrid, egrid=egrid,
+        do_integrated_predictions=integrated,
+        predict_maxiter_cg=cfg.predict_maxiter_cg,
+        predict_ksemi_method=cfg.predict_ksemi_method,
+        predict_ksemi_samps=cfg.predict_ksemi_samps,
+        elbo_trace=report.get("elbo_trace"),
+        hyper_traces={
+            "sig2": report.get("sig2_trace"),
+            "ell": report.get("ell_trace"),
+            "noisesq": report.get("noise2_trace"),
+        },
+        data_noise_std=None if sobs is None else float(np.mean(sobs)),
+        train_elbo=train_elbo,
+        grid_shape=grid_shape,
+        grid_extent=grid_extent,
+    )
+
+    trow = {"fitting": fitting_time, **eval_times}
+    pd.DataFrame([trow]).to_csv(os.path.join(odir, "time_report.csv"))
+    report["time_report"] = trow
+    report["pdict"] = pdict
+    return model, state, report

@@ -1,0 +1,127 @@
+"""Plotting helpers (matplotlib, Agg backend).
+
+Parity reference: `ziggy/viz.py` (plot_smooth / plot_comparison /
+ax_scatter) plus the epoch-callback figures from
+`ziggy/misc/experiment_util.py` (elbo trace, posterior maps, z-score
+histogram, QQ).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+__all__ = [
+    "plot_smooth",
+    "plot_comparison",
+    "ax_scatter",
+    "plot_elbo_trace",
+    "plot_posterior_grid",
+    "plot_qq",
+    "plot_zscore_histogram",
+]
+
+
+def plot_smooth(ax, vals, xlo, xhi, ylo, yhi, vmin=None, vmax=None, cmap="viridis"):
+    """imshow a gridded field with physical extent (reference viz.plot_smooth)."""
+    im = ax.imshow(
+        np.asarray(vals).T,
+        origin="lower",
+        extent=(xlo, xhi, ylo, yhi),
+        vmin=vmin,
+        vmax=vmax,
+        cmap=cmap,
+        aspect="auto",
+    )
+    return im
+
+
+def ax_scatter(ax, x, c=None, s=3, **kwargs):
+    x = np.asarray(x)
+    return ax.scatter(x[:, 0], x[:, 1], c=c, s=s, **kwargs)
+
+
+def plot_comparison(ftrue_grid, fmu_grid, extent, path=None, titles=("truth", "posterior mean", "error")):
+    """Side-by-side truth / posterior / error maps."""
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    vmin = float(np.nanmin(ftrue_grid))
+    vmax = float(np.nanmax(ftrue_grid))
+    ims = [
+        plot_smooth(axes[0], ftrue_grid, *extent, vmin=vmin, vmax=vmax),
+        plot_smooth(axes[1], fmu_grid, *extent, vmin=vmin, vmax=vmax),
+        plot_smooth(axes[2], np.asarray(fmu_grid) - np.asarray(ftrue_grid), *extent, cmap="RdBu"),
+    ]
+    for ax, im, t in zip(axes, ims, titles):
+        ax.set_title(t)
+        fig.colorbar(im, ax=ax)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_elbo_trace(trace, path=None):
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(np.asarray(trace))
+    ax.set_xlabel("batch")
+    ax.set_ylabel("ELBO")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_posterior_grid(fmu, fsig, grid_shape, extent, path=None):
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    im0 = plot_smooth(axes[0], np.asarray(fmu).reshape(grid_shape), *extent)
+    im1 = plot_smooth(axes[1], np.asarray(fsig).reshape(grid_shape), *extent, cmap="magma")
+    axes[0].set_title("posterior mean")
+    axes[1].set_title("posterior std")
+    fig.colorbar(im0, ax=axes[0])
+    fig.colorbar(im1, ax=axes[1])
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_qq(zscores_by_model, path=None):
+    from .utils.metrics import qq_data
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot([-3, 3], [-3, 3], "--", c="grey", lw=2, zorder=-1)
+    markers = ["o", "s", "d", "^", "3", "4", "8"]
+    for (name, z), m in zip(zscores_by_model.items(), markers):
+        znorm, zsorted = qq_data(z)
+        ax.scatter(znorm[::5], zsorted[::5], s=25, label=name, marker=m)
+    ax.legend(fontsize=12, frameon=True, framealpha=0.8)
+    ax.set_xlim(-3.2, 3.2)
+    ax.set_ylim(-3.2, 3.2)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_zscore_histogram(zscores, name="model", path=None):
+    from scipy.stats import norm
+
+    z = np.asarray(zscores).reshape(-1)
+    z = z[~np.isnan(z)]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(z, bins=30, density=True, alpha=0.5, label=name)
+    xgrid = np.linspace(-3, 3, 100)
+    ax.plot(xgrid, norm.pdf(xgrid), label="N(0,1)")
+    ax.set_xlabel("z score")
+    ax.set_ylabel("density")
+    ax.legend(frameon=True, loc="upper left")
+    ax.set_xlim(-3, 3)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig

@@ -1,0 +1,116 @@
+"""End-to-end harness: fit_predict_and_save artifacts, metrics, checkpoint
+round-trip, synthetic data generators."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from hipgp_tpu.experiments import fit_predict_and_save, make_model
+from hipgp_tpu.experiments.synthetic_data import (
+    integrated_obs,
+    make_two_dim_data,
+    make_two_dim_function,
+)
+from hipgp_tpu.infer import FitConfig
+from hipgp_tpu.utils import checkpoint as ckpt
+from hipgp_tpu.utils import metrics
+
+
+def small_data():
+    return make_two_dim_data(Nobs=300, Ntest=80, noise_std=0.1,
+                             function_complexity="simple", gridnum=16)
+
+
+def test_synthetic_data_shapes_and_snr():
+    d = small_data()
+    assert d["xobs"].shape == (300, 2)
+    assert d["fgrid"].shape == (256,)
+    assert abs(float(np.mean(d["fgrid"]))) < 1e-8  # mean-centered
+    assert d["f_snr"] > 0.5
+
+
+def test_integrated_obs_linear_field_exact():
+    """For f(x) = c constant, e(x) = c * ||x|| exactly."""
+    f = lambda pts: np.full(len(np.atleast_2d(pts)), 2.5)
+    x = np.array([[3.0, 4.0], [0.5, 0.0]])
+    e = integrated_obs(x, f)
+    np.testing.assert_allclose(e, [2.5 * 5.0, 2.5 * 0.5], rtol=1e-12)
+
+
+@pytest.mark.parametrize("fit_method", ["natgrad", "full-batch"])
+def test_fit_predict_and_save_artifacts(tmp_path, fit_method):
+    d = small_data()
+    cfg = FitConfig(epochs=3, batch_size=100, lr=0.02, maxiter_cg=30)
+    model, state, report = fit_predict_and_save(
+        name=f"mf-{fit_method}",
+        xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+        xinduce_grids=[np.linspace(-1, 1, 8)] * 2,
+        model_class="mean-field",
+        kernel="SqExp",
+        ell_init=0.3,
+        fit_method=fit_method,
+        fit_config=cfg,
+        maxiter_cg=30,
+        xtest=d["xtest"], ftest=d["ftest"],
+        xgrid=d["xgrid"], fgrid=d["fgrid"],
+        grid_shape=d["grid_shape"], grid_extent=d["grid_extent"],
+        output_dir=str(tmp_path),
+        dtype=jnp.float64,
+    )
+    odir = tmp_path / f"mf-{fit_method}"
+    for fname in [
+        "fit_params.json", "state.npz", "predictions.npz",
+        "errordf-summary.csv", "noise_reduction.csv", "coverage_table.csv",
+        "time_report.csv", "posterior-grid.jpg", "comparison-grid.jpg",
+    ]:
+        assert (odir / fname).exists(), fname
+
+    # the model actually learned something
+    ndf = pd.read_csv(odir / "noise_reduction.csv", index_col=0)
+    assert float(ndf.loc["rmse-to-std", "fobs"]) < 3.0
+
+    # checkpoint round-trips
+    restored, _, _ = ckpt.restore_checkpoint(str(odir), model.init_state())
+    np.testing.assert_allclose(np.asarray(restored.theta1), np.asarray(state.theta1))
+
+    preds = ckpt.load_predictions(str(odir / "predictions.npz"))
+    assert "fmu_test" in preds and len(preds["fmu_test"]) == 80
+
+
+def test_metrics_frames():
+    rng = np.random.default_rng(0)
+    n = 500
+    truth = rng.standard_normal(n)
+    sig = np.full(n, 0.5)
+    mu = truth + sig * rng.standard_normal(n)
+    pdict = {"ftest": truth, "fmu_test": mu, "fsig_test": sig}
+    df = metrics.error_frame({"m": pdict})
+    # perfectly calibrated: coverage near normal
+    cov = metrics.coverage_table({"m": np.asarray(df["f zscore"])})
+    np.testing.assert_allclose(
+        cov["m"].values, cov["N(0,1)"].values, atol=0.06
+    )
+    ndf = metrics.noise_comparison_frame(pdict, data_noise_std=0.5)
+    assert 0.8 < float(ndf.loc["rmse-to-std", "fobs"]) < 1.2
+    assert abs(float(ndf.loc["post-rmse", "fobs"]) - 0.5) < 0.08
+
+
+def test_coverage_underconfident_detected():
+    rng = np.random.default_rng(0)
+    n = 500
+    truth = rng.standard_normal(n)
+    sig = np.full(n, 0.1)  # overconfident model
+    mu = truth + 0.5 * rng.standard_normal(n)
+    z = (truth - mu) / sig
+    cov = metrics.coverage_table({"m": z})
+    assert float(cov["m"].iloc[1]) < 0.4  # far below 0.68
+
+
+def test_block_model_factory():
+    m = make_model("block-diagonal", "Mat32", [np.linspace(0, 1, 6)] * 2,
+                   num_obs=10, sig2_init=1.0, ell_init=0.1,
+                   block_sizes=(5, 5))
+    assert m.family == "block"
+    assert m.num_blocks * m.block_size == m.Mprime
