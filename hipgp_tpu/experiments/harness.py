@@ -253,7 +253,13 @@ def fit_predict_and_save(
     sobs = None if sobs is None else np.asarray(sobs).reshape(-1)
 
     if sig2_init == "empirical":
+        # distance-slope heuristic — appropriate when y grows with ||x||
+        # (the dust line-integral geometry, `experiment_util.py:71-76`)
         sig2_init = empirical_sig2_init(xobs, yobs)
+    elif sig2_init == "marginal":
+        # var(y) - mean noise^2 (`run_synthetic_experiment.py:186-188`)
+        nvar = 0.0 if sobs is None else float(np.mean(np.asarray(sobs) ** 2))
+        sig2_init = max(float(np.var(yobs)) - nvar, 1e-3)
 
     cfg = fit_config or FitConfig()
     cfg = dataclasses.replace(cfg, maxiter_cg=maxiter_cg)

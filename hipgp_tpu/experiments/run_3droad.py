@@ -1,0 +1,114 @@
+"""Appendix C.3 — UCI 3droad altitude regression.
+
+Parity reference: `experiments-hip-gp/run_3droad_experiment.py` +
+`exp_utils.py:378-430` (load_uci_data): 434,874 rows of (lat, lon,
+altitude), standardized, 64/16/20 train/valid/test split (238k/69k/86k).
+
+Data: `--data-path` points to the UCI 3D_spatial_network.txt (CSV: id, lat,
+lon, altitude).  Without it, a synthetic road-altitude surface of the same
+scale structure exercises the pipeline.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..infer import FitConfig
+from .harness import fit_predict_and_save
+
+
+def load_uci_3droad(path: str, seed: int = 0):
+    """(x (N,2) standardized, y (N,) standardized) from the UCI file."""
+    raw = np.loadtxt(path, delimiter=",")
+    x = raw[:, 1:3]
+    y = raw[:, 3]
+    x = (x - x.mean(axis=0)) / x.std(axis=0)
+    y = (y - y.mean()) / y.std()
+    rs = np.random.RandomState(seed)
+    perm = rs.permutation(len(x))
+    return x[perm], y[perm]
+
+
+def synthetic_road_data(n: int, seed: int = 0):
+    rs = np.random.RandomState(seed)
+    x = rs.uniform(-2, 2, (n, 2))
+    f = (
+        np.sin(2.0 * x[:, 0]) * np.cos(1.5 * x[:, 1])
+        + 0.5 * np.sin(5.0 * x[:, 0] * x[:, 1])
+    )
+    y = f + 0.15 * rs.standard_normal(n)
+    return x, y, f
+
+
+def split_64_16_20(n):
+    ntr = int(0.64 * n)
+    nva = int(0.16 * n)
+    return slice(0, ntr), slice(ntr, ntr + nva), slice(ntr + nva, n)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--nobs", type=int, default=20_000,
+                   help="synthetic N when no data file")
+    p.add_argument("--num-inducing", type=int, default=64)
+    p.add_argument("--model-class", default="mean-field")
+    p.add_argument("--kernel", default="Mat52")
+    p.add_argument("--ell", type=float, default=0.1)
+    p.add_argument("--noise-std", type=float, default=0.15)
+    p.add_argument("--fit-method", default="full-batch",
+                   choices=["natgrad", "full-batch"])
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--learn-kernel", action="store_true",
+                   help="learn hyperparameters (uses cholesky whitening, as"
+                        " the reference requires for this protocol)")
+    p.add_argument("--output-dir", default="./output-3droad")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    ftrue = None
+    if args.data_path and os.path.exists(args.data_path):
+        x, y = load_uci_3droad(args.data_path, args.seed)
+    else:
+        print("no --data-path: generating synthetic 3droad-like data")
+        x, y, ftrue = synthetic_road_data(args.nobs, args.seed)
+
+    tr, va, te = split_64_16_20(len(x))
+    sobs = np.full(len(x), args.noise_std)
+
+    lo = x.min(axis=0)
+    hi = x.max(axis=0)
+    grids = [np.linspace(lo[d], hi[d], args.num_inducing) for d in range(2)]
+
+    cfg = FitConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        maxiter_cg=args.maxiter_cg,
+        learn_kernel=args.learn_kernel,
+    )
+    return fit_predict_and_save(
+        name=f"3droad-{args.model_class}",
+        xobs=x[tr], yobs=y[tr], sobs=sobs[tr],
+        xinduce_grids=grids,
+        model_class=args.model_class,
+        kernel=args.kernel,
+        ell_init=args.ell,
+        noise2_init=args.noise_std**2,
+        # learn-kernel requires the exact cholesky whitening
+        # (`run_3droad_experiment.py:205` assert)
+        whitened_type="cholesky" if args.learn_kernel else "ziggy",
+        fit_method=args.fit_method,
+        fit_config=cfg,
+        maxiter_cg=args.maxiter_cg,
+        batch_solve_bsz=args.batch_size,
+        xvalid=x[va], fvalid=(ftrue[va] if ftrue is not None else y[va]),
+        xtest=x[te], ftest=(ftrue[te] if ftrue is not None else y[te]),
+        output_dir=args.output_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

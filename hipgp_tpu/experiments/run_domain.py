@@ -1,0 +1,145 @@
+"""Paper section 5.5 — interstellar-dust map from line-of-sight integrals.
+
+Parity reference: `experiments-hip-gp/run_domain_experiment.py` +
+`ziggy/misc/experiment_util_domain.py`: observations are integrated
+extinctions e(x) = ||x|| int_0^1 rho(a x) da along rays from the origin to
+each star, with heteroscedastic noise; the model fits the latent 3-D density
+rho on an nx x nx x nz inducing grid and is evaluated on both the latent
+field and integrated predictions.
+
+Data: `--data-path` reads the reference's space-separated format
+(x y z extinction extinction_err per row, `experiment_util_domain.py:20-27`).
+Without a file, a synthetic dust field (anisotropic Gaussian blobs) is
+generated so the full pipeline runs end-to-end.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer import FitConfig
+from .harness import fit_predict_and_save
+from .synthetic_data import integrated_obs
+
+
+def load_domain_data(path: str):
+    """x (N,3), e (N,), e_err (N,) from the reference's table format."""
+    tbl = np.loadtxt(path)
+    x = tbl[:, 0:3]
+    e = tbl[:, 3]
+    e_err = tbl[:, 4]
+    return x, e, e_err
+
+
+def synthetic_dust_field(seed: int = 0, nblobs: int = 6):
+    """Positive 3-D density: mixture of anisotropic Gaussian blobs."""
+    rs = np.random.RandomState(seed)
+    centers = rs.uniform(-0.6, 0.6, (nblobs, 3))
+    scales = rs.uniform(0.1, 0.3, (nblobs, 3))
+    weights = rs.uniform(0.5, 1.5, nblobs)
+
+    def rho(pts):
+        pts = np.atleast_2d(pts)
+        out = np.zeros(len(pts))
+        for c, s, w in zip(centers, scales, weights):
+            out += w * np.exp(-0.5 * np.sum(((pts - c) / s) ** 2, axis=-1))
+        return out
+
+    return rho
+
+
+def make_synthetic_domain_data(n: int, noise_std: float, seed: int = 0):
+    rs = np.random.RandomState(seed)
+    rho = synthetic_dust_field(seed)
+    # stars distributed in a ball, away from the origin
+    x = rs.uniform(-1.0, 1.0, (4 * n, 3))
+    x = x[np.linalg.norm(x, axis=1) > 0.15][:n]
+    e = integrated_obs(x, rho)
+    # synthetic heteroscedastic noise sobs ~ U[s/2, 3s/2]
+    # (`experiment_util_domain.py:86-88`)
+    sobs = rs.uniform(noise_std / 2, 3 * noise_std / 2, len(x))
+    a = e + sobs * rs.standard_normal(len(x))
+    return x, a, e, sobs, rho
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-path", default=None,
+                   help="reference-format table (x y z e e_err); synthetic if absent")
+    p.add_argument("--nobs", type=int, default=5000)
+    p.add_argument("--noise-std", type=float, default=0.1)
+    p.add_argument("--nx", type=int, default=16, help="inducing pts per xy dim")
+    p.add_argument("--nz", type=int, default=8, help="inducing pts in z")
+    p.add_argument("--model-class", default="mean-field")
+    p.add_argument("--kernel", default="SqExp")
+    p.add_argument("--ell", type=float, default=0.2)
+    p.add_argument("--fit-method", default="full-batch",
+                   choices=["natgrad", "full-batch"])
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--ntest", type=int, default=500)
+    p.add_argument("--eval-grid", type=int, default=20,
+                   help="xy eval grid size at the z=0 slice")
+    p.add_argument("--output-dir", default="./output-domain")
+    p.add_argument("--f64", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.data_path and os.path.exists(args.data_path):
+        x, a, e_err = load_domain_data(args.data_path)
+        sobs = e_err + 0.1  # reference adds 0.1 to real catalogue errors
+        e_true = a  # no ground truth; evaluate against held-out noisy obs
+        rho = None
+    else:
+        print("no --data-path: generating synthetic dust field")
+        x, a, e_true, sobs, rho = make_synthetic_domain_data(
+            args.nobs + args.ntest, args.noise_std
+        )
+
+    # train/test split
+    ntr = len(x) - args.ntest
+    xobs, aobs, sobs_tr = x[:ntr], a[:ntr], sobs[:ntr]
+    xtest, etest = x[ntr:], (e_true[ntr:] if e_true is not None else None)
+    ftest = rho(xtest) if rho is not None else None
+
+    grids = [np.linspace(-1, 1, args.nx), np.linspace(-1, 1, args.nx),
+             np.linspace(-1, 1, args.nz)]
+
+    # latent-field eval grid on the z=0 slice
+    g = np.linspace(-0.9, 0.9, args.eval_grid)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    xgrid = np.column_stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)])
+    fgrid = rho(xgrid) if rho is not None else None
+
+    cfg = FitConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        maxiter_cg=args.maxiter_cg, integrated_obs=True,
+        semi_integrated_estimator="analytic" if args.kernel == "SqExp" else "mc-biased",
+    )
+
+    model, state, report = fit_predict_and_save(
+        name=f"domain-{args.model_class}",
+        xobs=xobs, yobs=aobs, sobs=sobs_tr,
+        xinduce_grids=grids,
+        model_class=args.model_class,
+        kernel=args.kernel,
+        ell_init=args.ell,
+        fit_method=args.fit_method,
+        fit_config=cfg,
+        maxiter_cg=args.maxiter_cg,
+        batch_solve_bsz=args.batch_size,
+        xtest=xtest, etest=etest, ftest=ftest,
+        xgrid=xgrid, fgrid=fgrid,
+        grid_shape=(args.eval_grid, args.eval_grid),
+        grid_extent=(-0.9, 0.9, -0.9, 0.9),
+        output_dir=args.output_dir,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+    return model, state, report
+
+
+if __name__ == "__main__":
+    main()

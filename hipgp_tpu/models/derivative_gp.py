@@ -26,7 +26,7 @@ from ..kernels.derivatives import (
     sqexp_kprime_double,
     sqexp_kprime_double_diag,
 )
-from ..ops import make_spectrum, matmul_by_RT, whiten
+from ..ops import make_spectrum, matmul_by_RT, spd_inverse, whiten
 from ..utils import stats
 
 __all__ = [
@@ -151,7 +151,7 @@ def svgp_batch_solve(
         Knm = sqexp_k(x, u, sig2, ell)
         Lam, b = accumulate(Lam, b, Knm, y, obs_noise_std)
 
-    S = jnp.linalg.inv(Lam)
+    S = spd_inverse(Lam)
     m = S @ b
     return m, S
 

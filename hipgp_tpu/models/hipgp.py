@@ -31,7 +31,7 @@ import numpy as np
 from flax import struct
 
 from ..kernels import DoublyDiagInterpolator, k_semi_mc, k_semi_sqexp
-from ..ops import make_spectrum, matmul_by_R, whiten
+from ..ops import make_spectrum, matmul_by_R, spd_inverse, spd_solve, whiten
 from ..ops.bttb import BTTBSpectrum, embedded_dims
 from ..utils import blocks as blk
 from ..utils import stats
@@ -287,10 +287,10 @@ class HIPGP:
             S = -0.5 / t2  # (M',)
             m = S * t1
         elif self.family == "block":
-            S = jnp.linalg.inv(-2.0 * t2)  # (nb, bs, bs)
+            S = spd_inverse(-2.0 * t2)  # (nb, bs, bs)
             m = self.block_diag_multiply(S, t1[None, :])[0]
         else:
-            S = -0.5 * jnp.linalg.inv(t2)
+            S = spd_inverse(-2.0 * t2)
             m = S @ t1
         return m, S
 
@@ -340,7 +340,7 @@ class HIPGP:
     def _S_from_lam(self, lam):
         if self.family == "mean-field":
             return 1.0 / lam
-        return jnp.linalg.inv(lam)
+        return spd_inverse(lam)
 
     # ------------------------------------------------------------------
     # ELBO pieces
@@ -565,14 +565,14 @@ class HIPGP:
 
         if self.parameterization == "standard":
             S = self._S_from_lam(lam)
-            m = S @ b if self.family == "full-rank" else jnp.linalg.solve(big, b)
+            m = S @ b if self.family == "full-rank" else spd_solve(big, b)
             return state.replace(theta1=m, theta2=S)
         theta2 = -0.5 * lam
         if self.family == "mean-field":
-            mhat = jnp.linalg.solve(big, b)
+            mhat = spd_solve(big, b)
             theta1 = mhat * lam
         elif self.family == "block":
-            mhat = jnp.linalg.solve(big, b)
+            mhat = spd_solve(big, b)
             theta1 = self.block_diag_multiply(lam, mhat[None, :])[0]
         else:
             theta1 = b

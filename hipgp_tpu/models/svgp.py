@@ -24,6 +24,7 @@ import numpy as np
 from flax import struct
 
 from ..kernels import k_semi_mc, k_semi_sqexp
+from ..ops import spd_inverse, spd_solve
 from ..utils import stats
 
 __all__ = ["SVGP", "SVGPState"]
@@ -88,7 +89,7 @@ class SVGP:
         return jnp.exp(state.log_sig2), jnp.exp(state.log_ell)
 
     def standard_params(self, state: SVGPState):
-        S = jnp.linalg.inv(-2.0 * state.theta2)
+        S = spd_inverse(-2.0 * state.theta2)
         m = S @ state.theta1
         return m, S
 
@@ -126,7 +127,7 @@ class SVGP:
         if self.whitened:
             L = jnp.linalg.cholesky(Kmm + self.jitter * I)
             return jax.scipy.linalg.solve_triangular(L, Knm.T, lower=True).T
-        return jnp.linalg.solve(Kmm + self.jitter * I, Knm.T).T
+        return spd_solve(Kmm + self.jitter * I, Knm.T).T
 
     def _ktilde_diag(self, Knn_diag, kn, Knm):
         if self.whitened:
@@ -206,7 +207,7 @@ class SVGP:
         if self.whitened:
             prior_prec = jnp.eye(self.M, dtype=kn.dtype)
         else:
-            prior_prec = jnp.linalg.inv(Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype))
+            prior_prec = spd_inverse(Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype))
         Lam = bscale * (kn_t.T @ kn_t) + prior_prec
         dS = -0.5 * Lam - state.theta2
         uhat = kn_t.T @ (y / ns)
@@ -234,7 +235,7 @@ class SVGP:
         if self.whitened:
             prior_prec = jnp.eye(self.M, dtype=kn.dtype)
         else:
-            prior_prec = jnp.linalg.inv(Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype))
+            prior_prec = spd_inverse(Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype))
         Lam = prior_prec + kn_t.T @ kn_t
         b = kn_t.T @ (y / ns)
         new_state = state.replace(theta1=b, theta2=-0.5 * Lam)

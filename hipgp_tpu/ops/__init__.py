@@ -17,7 +17,7 @@ from .bttb import (
     toeplitz_column,
 )
 from .cg import PCGResult, pcg, pcg_result, pcg_scan, pcg_trace
-from .solve import cholesky_whiten, gram_solve, inv_matmul, whiten
+from .solve import cholesky_whiten, gram_solve, inv_matmul, spd_inverse, spd_solve, whiten
 from .bidiag import bidiag_solve, golub_kahan_bidiag
 from .tridiag import tridiagonal_solve
 
@@ -42,6 +42,8 @@ __all__ = [
     "pcg_scan",
     "pcg_trace",
     "cholesky_whiten",
+    "spd_inverse",
+    "spd_solve",
     "gram_solve",
     "inv_matmul",
     "whiten",

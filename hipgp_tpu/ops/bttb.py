@@ -58,31 +58,32 @@ def expanded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
 
 
 def next_fast_len(n: int) -> int:
-    """Smallest L >= n whose prime factors are all in {2, 3, 5, 7}.
+    """Smallest L >= n whose prime factors are all in {2, 3, 5}.
 
-    TPU-specific constraint: XLA's TPU FFT handles smooth lengths natively
-    but lowers any other length to a dense L x L DFT matmul — O(L^2) memory,
-    fatal at L ~ 1e6.  The minimal embedding length 2m-2 is rarely smooth,
-    so spectra are built on the padded smooth length instead (the circulant
-    embedding is valid for ANY L >= 2m-2; see :func:`make_spectrum`).
+    TPU-specific constraints, measured on v5e:
+    * any non-smooth length lowers to a dense L x L DFT matmul — O(L^2)
+      memory, fatal at L ~ 1e6;
+    * a factor of 7 is nominally supported but ~15x slower than neighboring
+      {2,3,5}-smooth lengths (126 vs 128 at 2-D batch 1000), so 7 is
+      excluded.
+    The minimal embedding length 2m-2 is rarely smooth, so spectra are built
+    on the padded smooth length instead (the circulant embedding is valid
+    for ANY L >= 2m-2; see :func:`make_spectrum`).
     """
     if n <= 1:
         return 1
     best = 1 << (n - 1).bit_length()  # next power of two always works
-    p7 = 1
-    while p7 < best:
-        p5 = p7
-        while p5 < best:
-            p3 = p5
-            while p3 < best:
-                p2 = p3
-                while p2 < n:
-                    p2 *= 2
-                if p2 < best:
-                    best = p2
-                p3 *= 3
-            p5 *= 5
-        p7 *= 7
+    p5 = 1
+    while p5 < best:
+        p3 = p5
+        while p3 < best:
+            p2 = p3
+            while p2 < n:
+                p2 *= 2
+            if p2 < best:
+                best = p2
+            p3 *= 3
+        p5 *= 5
     return best
 
 
@@ -226,6 +227,132 @@ def _fft_axes(ndim: int) -> Tuple[int, ...]:
     return tuple(range(-ndim, 0))
 
 
+# ---------------------------------------------------------------------------
+# Real-eigenbasis transform on the MXU (replaces XLA FFT for small axes)
+#
+# Two TPU facts, measured on v5e, force this path:
+#  * XLA's TPU FFT is SILENTLY INACCURATE at large batch: at (1000, 128, 128)
+#    every output row of irfftn(rfftn(x) * w) is off by up to ~25% relative,
+#    while the same computation is exact to f32 eps at batch 4.
+#  * even when accurate it runs ~2 orders of magnitude off the HBM roofline
+#    for these axis sizes.
+#
+# Because the circulant embedding is even-symmetric, its spectrum is real and
+# even, so the operator diagonalizes in the REAL Fourier basis
+#   Q = [1/sqrt(L), sqrt(2/L) cos(2 pi k n / L), (-1)^n / sqrt(L),
+#        sqrt(2/L) sin(2 pi k n / L)]
+# with C = (Q_1 x ... x Q_D) diag(lam) (.)^T and the symmetric PSD square
+# root unique — so Q-based K / R^T / R / C^{-1} matvecs are EXACTLY the same
+# operators as the FFT formulation.  One real (L, L) matmul per axis per
+# direction: precisely the MXU's shape.  Used whenever every embedded axis
+# is <= MATMUL_DFT_MAX_LEN; the long-1-D case falls back to XLA FFT (whose
+# accuracy at the relevant batch is validated in tests).
+# ---------------------------------------------------------------------------
+
+MATMUL_DFT_MAX_LEN = 512
+# DFT-style sums cancel heavily; single-pass bf16 matmuls lose ~1e-1
+# relative.  HIGHEST (6-pass) keeps the path at f32 accuracy.
+MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+_BASIS_CACHE: dict = {}
+
+
+def _real_fourier_basis(L: int, dtype) -> jnp.ndarray:
+    """Orthogonal (L, L) real Fourier basis Q, columns ordered so column k
+    pairs with frequency min(k, L-k) — the same layout as the full DFT
+    spectrum, letting the even eigenvalue vector be used unchanged."""
+    import numpy as _np
+
+    key = (L, _np.dtype(dtype).name)
+    if key not in _BASIS_CACHE:
+        n = _np.arange(L)[:, None]
+        k = _np.arange(L)[None, :]
+        ang = 2.0 * _np.pi * n * k / L
+        Q = _np.where(k <= L // 2, _np.cos(ang), _np.sin(2.0 * _np.pi * n * (L - k) / L))
+        scale = _np.full(L, _np.sqrt(2.0 / L))
+        scale[0] = _np.sqrt(1.0 / L)
+        if L % 2 == 0:
+            scale[L // 2] = _np.sqrt(1.0 / L)
+        Q = Q * scale[None, :]
+        _BASIS_CACHE[key] = Q.astype(dtype)
+    return jnp.asarray(_BASIS_CACHE[key])
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _axis_contract(x, Q, axis: int):
+    """Contract ``axis`` of x with Q[in, out], keeping the axis in place.
+
+    Uses einsum so XLA folds the layout change into the dot_general — an
+    explicit transpose materializes at TPU minor-dim-shuffle speed (~25 ms
+    for 64 MB) while the fused contraction runs at MXU speed.
+    """
+    nd = x.ndim
+    axis = axis % nd
+    subs = _LETTERS[:nd]
+    out = subs[:axis] + "Z" + subs[axis + 1 :]
+    return jnp.einsum(
+        f"{subs},{subs[axis]}Z->{out}", x, Q, precision=MATMUL_DFT_PRECISION
+    )
+
+
+def _axis_transform(x, axis, L, dtype, inverse: bool):
+    """One-axis analysis (Q^T x) or synthesis (Q x) as a single real matmul."""
+    Q = _real_fourier_basis(L, dtype)
+    if inverse:
+        Q = Q.T
+    return _axis_contract(x, Q, axis)
+
+
+def _full_weights(half: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Expand an rfftn half-spectrum to the full spectrum by mirroring the
+    last axis (the circulant spectrum is real and even, so elementwise
+    functions of it — sqrt, reciprocal — commute with the mirror)."""
+    if L == 1 or half.shape[-1] == L:
+        return half
+    if L % 2 == 0:
+        mirror = jnp.flip(half[..., 1:-1], axis=-1)
+    else:
+        mirror = jnp.flip(half[..., 1:], axis=-1)
+    return jnp.concatenate([half, mirror], axis=-1)
+
+
+def _apply_spectrum_matmul(
+    spec: "BTTBSpectrum",
+    v: jnp.ndarray,
+    weights_full: jnp.ndarray,
+    in_expanded: bool,
+    out_expanded: bool,
+) -> jnp.ndarray:
+    dims, edims = spec.dims, spec.edims
+    nd = len(dims)
+    batch = v.shape[:-1]
+    dtype = v.dtype
+
+    if in_expanded:
+        x = v.reshape(batch + edims)
+    else:
+        x = v.reshape(batch + dims)
+        pad = [(0, 0)] * len(batch) + [(0, e - d) for d, e in zip(dims, edims)]
+        x = jnp.pad(x, pad)
+
+    # Contraction ORDER is the performance lever on TPU: analyze the minor
+    # (lane) axis first and synthesize it last — measured 3.8 ms vs 50 ms
+    # for the opposite order at (1000, 128, 128).
+    for a in range(-1, -nd - 1, -1):
+        x = _axis_transform(x, a, edims[a], dtype, inverse=False)
+    x = x * weights_full
+    for a in range(-nd, 0):
+        x = _axis_transform(x, a, edims[a], dtype, inverse=True)
+
+    y = x
+    if out_expanded:
+        return y.reshape(batch + (spec.Mprime,))
+    crop = tuple([slice(None)] * len(batch) + [slice(0, d) for d in dims])
+    return y[crop].reshape(batch + (spec.M,))
+
+
 def _apply_spectrum(
     spec: BTTBSpectrum,
     v: jnp.ndarray,
@@ -233,11 +360,53 @@ def _apply_spectrum(
     in_expanded: bool,
     out_expanded: bool,
 ) -> jnp.ndarray:
-    """Core pipeline: reshape -> (zero-pad) -> rFFTn -> scale -> irFFTn -> (crop).
+    """Core pipeline: reshape -> (zero-pad) -> transform -> scale ->
+    inverse-transform -> (crop).
 
     ``v`` has shape (..., M) if ``in_expanded`` is False else (..., M').
-    ``weights`` is a real half-spectrum broadcastable against the rfftn output.
+    ``weights`` is a real half-spectrum broadcastable against the rfftn
+    output.  The transform is the MXU real-eigenbasis matmul whenever every
+    embedded axis fits (see MATMUL_DFT_MAX_LEN), else XLA's FFT — chunked
+    over the batch: XLA's multi-dim TPU FFT silently corrupts results above
+    ~600 batched transforms (30% relative error measured at batch 1000,
+    exact at 600), so the fallback never exceeds FFT_SAFE_BATCH per call.
     """
+    dims, edims = spec.dims, spec.edims
+    nd = len(dims)
+    batch = v.shape[:-1]
+
+    if max(edims) <= MATMUL_DFT_MAX_LEN:
+        wfull = _full_weights(weights, edims[-1])
+        return _apply_spectrum_matmul(spec, v, wfull, in_expanded, out_expanded)
+
+    out_len = spec.Mprime if out_expanded else spec.M
+    flat = v.reshape(-1, v.shape[-1])
+    B = flat.shape[0]
+    if nd >= 2 and B > FFT_SAFE_BATCH:
+        nchunks = -(-B // FFT_SAFE_BATCH)
+        padded = jnp.pad(flat, ((0, nchunks * FFT_SAFE_BATCH - B), (0, 0)))
+        chunks = padded.reshape(nchunks, FFT_SAFE_BATCH, -1)
+        out = jax.lax.map(
+            lambda c: _fft_apply_core(spec, c, weights, in_expanded, out_expanded),
+            chunks,
+        )
+        return out.reshape(-1, out_len)[:B].reshape(batch + (out_len,))
+    return _fft_apply_core(spec, flat, weights, in_expanded, out_expanded).reshape(
+        batch + (out_len,)
+    )
+
+
+FFT_SAFE_BATCH = 512
+
+
+def _fft_apply_core(
+    spec: "BTTBSpectrum",
+    v: jnp.ndarray,
+    weights: jnp.ndarray,
+    in_expanded: bool,
+    out_expanded: bool,
+) -> jnp.ndarray:
+    """XLA-FFT pipeline on a (B, len) block (B within the accuracy-safe range)."""
     dims, edims = spec.dims, spec.edims
     nd = len(dims)
     batch = v.shape[:-1]

@@ -27,7 +27,36 @@ from jax import lax
 from .bttb import BTTBSpectrum, matmul_by_Cinv, matmul_by_K, matmul_by_RT
 from .cg import pcg, pcg_scan
 
-__all__ = ["inv_matmul", "whiten", "gram_solve", "cholesky_whiten"]
+__all__ = ["inv_matmul", "whiten", "gram_solve", "cholesky_whiten",
+           "spd_solve", "spd_inverse"]
+
+
+def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for symmetric positive-definite A via Cholesky.
+
+    TPU note: XLA's LU path (`jnp.linalg.solve`) uses a blocked custom call
+    that exhausts scoped VMEM beyond ~10k x 10k; the Cholesky + two
+    triangular-solve route scales.  Supports leading batch dims on A/b.
+    """
+    L = jnp.linalg.cholesky(A)
+    if b.ndim == A.ndim - 1:
+        b = b[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False
+    )
+    return x[..., 0] if squeeze else x
+
+
+def spd_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a symmetric positive-definite matrix (batched) via Cholesky."""
+    I = jnp.broadcast_to(
+        jnp.eye(A.shape[-1], dtype=A.dtype), A.shape
+    )
+    return spd_solve(A, I)
 
 
 def inv_matmul(
