@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from hipgp_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from ..utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from .. import viz
 from ..infer import FitConfig, batch_predict, svigp_fit
 from ..kernels import kernel_from_name

@@ -49,9 +49,10 @@ def pcg(
     maxiter: int = 20,
     tol: float = 1e-10,
     x0: Optional[jnp.ndarray] = None,
+    dot_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Solve A x = b with (preconditioned) CG; returns x with b's shape."""
-    return pcg_result(matvec, b, precond, maxiter, tol, x0).x
+    return pcg_result(matvec, b, precond, maxiter, tol, x0, dot_fn).x
 
 
 def pcg_result(
@@ -61,8 +62,15 @@ def pcg_result(
     maxiter: int = 20,
     tol: float = 1e-10,
     x0: Optional[jnp.ndarray] = None,
+    dot_fn: Optional[Callable] = None,
 ) -> PCGResult:
-    """Like :func:`pcg` but also reports iteration count and residual norms."""
+    """Like :func:`pcg` but also reports iteration count and residual norms.
+
+    ``dot_fn(a, b) -> (batch,)`` overrides the inner product (reduction over
+    the last axis by default) — the hook for sharded operands, where the
+    reduction needs a ``psum`` over the mesh axis.
+    """
+    _dot_l = dot_fn if dot_fn is not None else _dot
     if precond is None:
         precond = lambda r: r
 
@@ -74,8 +82,8 @@ def pcg_result(
         r = b - matvec(x0)
     z = precond(r)
     p = z
-    rz = _dot(r, z)
-    rr = _dot(r, r)
+    rz = _dot_l(r, z)
+    rr = _dot_l(r, r)
 
     tol_sq = jnp.asarray(tol, b.dtype) ** 2
 
@@ -86,16 +94,16 @@ def pcg_result(
     def body(carry):
         k, x, r, z, p, rz, _rr = carry
         Ap = matvec(p)
-        pAp = _dot(p, Ap)
+        pAp = _dot_l(p, Ap)
         # Guard converged / degenerate rows: alpha = rz / pAp with pAp ~ 0
         # would poison the whole batch with NaNs.
         safe = jnp.abs(pAp) > 0
         alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
         x = x + alpha[..., None] * p
         r = r - alpha[..., None] * Ap
-        rr = _dot(r, r)
+        rr = _dot_l(r, r)
         z = precond(r)
-        rz_new = _dot(r, z)
+        rz_new = _dot_l(r, z)
         beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta[..., None] * p
         return (k + 1, x, r, z, p, rz_new, rr)

@@ -2,8 +2,16 @@
 grid-sharded FFT solves."""
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
 from .dp import dp_batch_solve, dp_elbo_and_grads, make_dp_train_step
+from .fft_sharded import (
+    sharded_gram_solve,
+    sharded_inv_matmul,
+    sharded_matmul_by_K,
+)
 
 __all__ = [
+    "sharded_gram_solve",
+    "sharded_inv_matmul",
+    "sharded_matmul_by_K",
     "NamedSharding",
     "P",
     "make_mesh",

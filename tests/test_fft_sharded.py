@@ -1,0 +1,63 @@
+"""Grid-sharded circulant solves vs single-device oracles (8 CPU devices)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipgp_tpu.kernels import SqExp
+from hipgp_tpu.ops import (
+    gram_solve,
+    inv_matmul,
+    make_spectrum,
+    matmul_by_K,
+)
+from hipgp_tpu.parallel import make_mesh
+from hipgp_tpu.parallel.fft_sharded import (
+    sharded_gram_solve,
+    sharded_inv_matmul,
+    sharded_matmul_by_K,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # dims (m0, m1) -> edims divisible by 8 shards
+    grids = [jnp.linspace(0.0, 1.0, 17), jnp.linspace(0.0, 1.0, 13)]
+    kf = lambda a, b: SqExp()(a, b, (1.0, 0.1))
+    spec = make_spectrum(grids, kf, jitter=1e-3)
+    assert spec.edims[0] % 8 == 0, spec.edims
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((5, spec.M)))
+    mesh = make_mesh(8, axis_names=("grid",))
+    return spec, b, mesh
+
+
+def test_sharded_matmul_matches(setup):
+    spec, b, mesh = setup
+    got = sharded_matmul_by_K(spec, b, mesh, axis="grid")
+    want = matmul_by_K(spec, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_inv_matmul_matches(setup):
+    spec, b, mesh = setup
+    got = sharded_inv_matmul(spec, b, mesh, axis="grid", maxiter=200, tol=1e-12)
+    want = inv_matmul(spec, b, maxiter=200, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_gram_solve_matches(setup):
+    spec, b, mesh = setup
+    got = sharded_gram_solve(spec, b, mesh, axis="grid", maxiter=200, tol=1e-12)
+    want = gram_solve(spec, b, maxiter=200, tol=1e-12)
+    assert got.shape == want.shape == (5, spec.Mprime)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_rejects_bad_shard_count():
+    grids = [jnp.linspace(0.0, 1.0, 4), jnp.linspace(0.0, 1.0, 4)]
+    spec = make_spectrum(grids, lambda a, b: SqExp()(a, b, (1.0, 0.1)))
+    mesh = make_mesh(8, axis_names=("grid",))
+    b = jnp.ones((1, spec.M))
+    with pytest.raises(ValueError):
+        sharded_gram_solve(spec, b, mesh)  # edims[0]=6 not divisible by 8
