@@ -166,12 +166,20 @@ def svigp_fit(
     config: FitConfig,
     epoch_callback: Optional[Callable] = None,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """Fit variational (and optionally hyper) parameters.
 
     Returns (state, report) where report carries the per-batch ELBO trace,
     hyperparameter traces, and per-epoch wall-clock (the reference's
     time_report.csv content, `ziggy/svi_gp.py:426-440`).
+
+    Checkpoint/resume (absent from the reference, which only ever saves):
+    with ``checkpoint_dir`` + ``checkpoint_every=k``, the full training
+    state (model state, optimizer state, epoch) is persisted every k epochs;
+    ``resume=True`` restores it and continues from the saved epoch.
     """
     # When learning the noise, per-point noise is ignored (reference drops
     # noise from the dataset in that case, `ziggy/svi_gp.py:236-241`).
@@ -188,11 +196,26 @@ def svigp_fit(
     epoch_step = make_train_step(model, config, opt)
     key = jax.random.PRNGKey(config.seed)
 
+    start_epoch = 0
+    if resume and checkpoint_dir is not None:
+        import os
+
+        from ..utils import checkpoint as _ckpt
+
+        if os.path.exists(os.path.join(checkpoint_dir, "state.npz")):
+            state, restored_opt, start_epoch = _ckpt.restore_checkpoint(
+                checkpoint_dir, state, opt_state
+            )
+            if restored_opt is not None:
+                opt_state = restored_opt
+            if verbose:
+                print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+
     trace = []
     sig2_trace, ell_trace, noise2_trace = [], [], []
     epoch_times = []
     epoch_elbos = []
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         state, opt_state, key, elbos = jax.block_until_ready(
             epoch_step(state, opt_state, key, xb, yb, sb, w)
@@ -212,6 +235,14 @@ def svigp_fit(
         if epoch_callback is not None:
             if (not config.only_eval_last_epoch) or epoch == config.epochs - 1:
                 epoch_callback(epoch, model, state, trace)
+        if (
+            checkpoint_dir is not None
+            and checkpoint_every
+            and (epoch + 1) % checkpoint_every == 0
+        ):
+            from ..utils import checkpoint as _ckpt
+
+            _ckpt.save_checkpoint(checkpoint_dir, state, opt_state, step=epoch + 1)
 
     report = {
         "elbo_trace": trace,

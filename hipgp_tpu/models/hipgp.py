@@ -591,6 +591,9 @@ class HIPGP:
         semi_integrated_samps: int = 10,
         key: Optional[jax.Array] = None,
         compute_elbo: bool = False,
+        mean_solver: str = "dense",
+        mean_solver_maxiter: int = 200,
+        mean_solver_tol: float = 1e-8,
     ):
         """Closed-form optimal q: accumulate (Lambda, b) over batches, then
         S = Lambda^{-1}, m = S b (`ziggy/hipgp.py:278-368`).
@@ -598,6 +601,13 @@ class HIPGP:
         Data is padded to a batch multiple and masked, so the whole solve is
         one jit-compatible ``lax.scan``.  Returns ``new_state`` (or
         ``(new_state, elbo)`` when ``compute_elbo``).
+
+        ``mean_solver``: the mean-field/block optimal *mean* solves the FULL
+        system (I + sum_n kn kn^T / s_n^2) m = b.  'dense' materializes that
+        M' x M' matrix (the reference's behavior — caps M' around ~16k on one
+        chip); 'cg' keeps the stacked kn (N x M') in HBM and solves by CG
+        with matvecs m -> m + kn^T (ivar * (kn m)) — O(N M') memory, scaling
+        the closed-form solve to M' ~ 10^5.
         """
         N = xobs.shape[0]
         y = yobs.reshape(-1)
@@ -637,29 +647,46 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg)
             return kn, Knn_diag
 
-        need_big = self.family != "full-rank"
+        if mean_solver not in ("dense", "cg"):
+            raise ValueError(f"mean_solver={mean_solver!r}")
+        need_big = self.family != "full-rank" and mean_solver == "dense"
+        collect_kn = self.family != "full-rank" and mean_solver == "cg"
+
+        def ivar_of(wb, nsb):
+            if nsb is not None:
+                return wb / (nsb * nsb)
+            return wb * jnp.exp(-state.log_noise2)
 
         def accum(carry, inp):
             lam_acc, b_acc, big_acc = carry
             xb, yb, wb, kb, nsb = inp
-            if nsb is not None:
-                ivar = wb / (nsb * nsb)
+            ivar = ivar_of(wb, nsb)
+            if collect_kn:
+                # keep kn: the dense Gram of Lambda is never materialized
+                Knm, _ = self.make_grams(
+                    state, xb, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, kb,
+                )
+                kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg, spec=spec)
+                lam = self.get_lam(ivar, kn, bscale=1.0, add_identity=False)
+                b = kn.T @ (ivar * yb.reshape(-1))
+                out = (kn, ivar)
             else:
-                ivar = wb * jnp.exp(-state.log_noise2)
-            lam, b, big = self.accumulate_lam_b(
-                state, xb, yb, ivar,
-                maxiter_cg=maxiter_cg,
-                integrated_obs=integrated_obs,
-                semi_integrated_estimator=semi_integrated_estimator,
-                semi_integrated_samps=semi_integrated_samps,
-                key=kb,
-                spec=spec,
-            )
+                lam, b, big = self.accumulate_lam_b(
+                    state, xb, yb, ivar,
+                    maxiter_cg=maxiter_cg,
+                    integrated_obs=integrated_obs,
+                    semi_integrated_estimator=semi_integrated_estimator,
+                    semi_integrated_samps=semi_integrated_samps,
+                    key=kb,
+                    spec=spec,
+                )
+                if need_big:
+                    big_acc = big_acc + big
+                out = None
             lam_acc = lam_acc + lam
             b_acc = b_acc + b
-            if need_big:
-                big_acc = big_acc + big
-            return (lam_acc, b_acc, big_acc), None
+            return (lam_acc, b_acc, big_acc), out
 
         lam0 = jax.tree.map(
             jnp.zeros_like,
@@ -672,17 +699,50 @@ class HIPGP:
             else jnp.zeros((1, 1), self.dtype)
         )
         if nsp is None:
-            (lam, b, big), _ = jax.lax.scan(
+            (lam, b, big), kn_stack = jax.lax.scan(
                 lambda c, i: accum(c, (*i, None)), (lam0, b0, big0), (xp, yp, w, keys)
             )
         else:
-            (lam, b, big), _ = jax.lax.scan(
+            (lam, b, big), kn_stack = jax.lax.scan(
                 accum, (lam0, b0, big0), (xp, yp, w, keys, nsp)
             )
 
-        new_state = self.finalize_from_lam_b(
-            state, lam, b, big if need_big else None
-        )
+        if collect_kn:
+            from ..ops import pcg as _pcg
+
+            kn_all = kn_stack[0].reshape(-1, self.Mprime)  # (N', M')
+            ivar_all = kn_stack[1].reshape(-1)
+
+            def big_mv_flat(v):
+                # (B, M') -> v + (kn^T diag(ivar) kn) v, never materializing
+                # the M' x M' Gram
+                return v + ((ivar_all * (kn_all @ v.T).T) @ kn_all)
+
+            mhat = _pcg(
+                big_mv_flat, b[None, :], maxiter=mean_solver_maxiter,
+                tol=mean_solver_tol,
+            )[0]
+            lam_with_I = lam + self.get_lam(
+                jnp.zeros((1,), self.dtype),
+                jnp.zeros((1, self.Mprime), self.dtype),
+                add_identity=True,
+            )
+            theta2 = -0.5 * lam_with_I
+            if self.parameterization == "standard":
+                new_state = state.replace(
+                    theta1=mhat, theta2=self._S_from_lam(lam_with_I)
+                )
+            elif self.family == "mean-field":
+                new_state = state.replace(theta1=mhat * lam_with_I, theta2=theta2)
+            else:  # block
+                new_state = state.replace(
+                    theta1=self.block_diag_multiply(lam_with_I, mhat[None, :])[0],
+                    theta2=theta2,
+                )
+        else:
+            new_state = self.finalize_from_lam_b(
+                state, lam, b, big if need_big else None
+            )
 
         if not compute_elbo:
             return new_state

@@ -302,3 +302,38 @@ def test_jit_and_vmap_compose():
     e1, g1 = f(st, x, y, s)
     e2, g2 = model.elbo_and_grads(st, x, y, s, maxiter_cg=20)
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("family", ["mean-field", "block"])
+def test_batch_solve_cg_mean_solver_matches_dense(family):
+    """mean_solver='cg' (no dense M'xM' Gram) matches the dense solve."""
+    x, y, s, _ = make_data()
+    kw = {"block_sizes": (4, 4)} if family == "block" else {}
+    model = make_model(family, "cholesky", **kw)
+    st = model.init_state()
+    dense = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200)
+    cg = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200,
+                           mean_solver="cg", mean_solver_maxiter=500,
+                           mean_solver_tol=1e-12)
+    np.testing.assert_allclose(np.asarray(cg.theta2), np.asarray(dense.theta2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(cg.theta1), np.asarray(dense.theta1), rtol=1e-5, atol=1e-8)
+
+
+def test_fit_resume_roundtrip(tmp_path):
+    """Checkpoint every epoch, interrupt, resume: final state identical to
+    an uninterrupted run."""
+    from hipgp_tpu.infer import FitConfig, svigp_fit
+
+    x, y, s, _ = make_data(n=40)
+    model = make_model("mean-field", "cholesky")
+    cfg = FitConfig(epochs=6, batch_size=20, lr=0.02, maxiter_cg=20)
+    st0 = model.init_state()
+    full, _ = svigp_fit(model, st0, x, y, s, cfg, verbose=False)
+
+    cdir = str(tmp_path / "ckpt")
+    cfg3 = FitConfig(epochs=3, batch_size=20, lr=0.02, maxiter_cg=20)
+    part, _ = svigp_fit(model, st0, x, y, s, cfg3, verbose=False,
+                        checkpoint_dir=cdir, checkpoint_every=1)
+    resumed, _ = svigp_fit(model, st0, x, y, s, cfg, verbose=False,
+                           checkpoint_dir=cdir, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.theta1), np.asarray(full.theta1), rtol=1e-6, atol=1e-9)
