@@ -48,35 +48,47 @@ def _axis_mm(x, Q, axis, precision):
     return jnp.einsum(f"{subs},{subs[axis]}Z->{out}", x, Q, precision=precision)
 
 
-def _sharded_circulant_apply(x, w_local, Q0, Q1, axis_name):
-    """C-apply on a (B, L0/n, L1) expanded-space shard.
+def _sharded_circulant_apply(x, w_local, Qs, axis_name):
+    """C-apply on a (B, L0/n, L1, ..., L_{d-1}) expanded-space shard.
 
-    Analysis: local minor axis, all_to_all to (B, L0, L1/n), local leading
-    axis; scale by the (L0, L1/n) weight shard; synthesis mirrored.
+    Analysis: all trailing axes locally (minor first); one all_to_all pair
+    trades the sharded leading axis against the minor axis so it too can be
+    transformed locally; scale by the weight shard (sharded on the minor
+    axis); synthesis mirrored.
     """
     from ..ops.bttb import MATMUL_DFT_PRECISION as prec
 
-    x = _axis_mm(x, Q1, -1, prec)  # analysis, minor axis (local)
-    # (B, L0/n, L1) -> (B, L0, L1/n): exchange row blocks for column blocks
-    x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
-    x = _axis_mm(x, Q0, -2, prec)  # analysis, leading axis (now local)
+    nd = len(Qs)
+    # analysis, local trailing axes, minor first
+    for a in range(-1, -nd, -1):
+        x = _axis_mm(x, Qs[a], a, prec)
+    # (B, L0/n, ..., Lm) -> (B, L0, ..., Lm/n)
+    x = jax.lax.all_to_all(x, axis_name, split_axis=x.ndim - 1, concat_axis=1,
+                           tiled=True)
+    x = _axis_mm(x, Qs[0], -nd, prec)  # leading axis, now local
     x = x * w_local
-    x = _axis_mm(x, Q0.T, -2, prec)  # synthesis, leading axis
-    x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
-    x = _axis_mm(x, Q1.T, -1, prec)  # synthesis, minor axis
+    x = _axis_mm(x, Qs[0].T, -nd, prec)
+    x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=x.ndim - 1,
+                           tiled=True)
+    for a in range(-nd + 1, 0):
+        x = _axis_mm(x, Qs[a].T, a, prec)
     return x
 
 
 def _mask_local(spec: BTTBSpectrum, n_shards: int, shard_idx, dtype):
-    """(L0/n, L1) mask of original-grid positions for this row shard."""
-    L0, L1 = spec.edims
-    m0, m1 = spec.dims
-    rows_per = L0 // n_shards
-    row0 = shard_idx * rows_per
-    r = row0 + jnp.arange(rows_per)
-    return (
-        (r[:, None] < m0) & (jnp.arange(L1)[None, :] < m1)
-    ).astype(dtype)
+    """(L0/n, L1, ..., L_{d-1}) mask of original-grid positions for this
+    row shard."""
+    edims, dims = spec.edims, spec.dims
+    rows_per = edims[0] // n_shards
+    r = shard_idx * rows_per + jnp.arange(rows_per)
+    mask = (r < dims[0]).astype(dtype)
+    mask = mask.reshape((rows_per,) + (1,) * (len(dims) - 1))
+    for a in range(1, len(dims)):
+        ax_mask = (jnp.arange(edims[a]) < dims[a]).astype(dtype)
+        shape = [1] * len(dims)
+        shape[a] = edims[a]
+        mask = mask * ax_mask.reshape(shape)
+    return mask
 
 
 def sharded_matmul_by_K(spec: BTTBSpectrum, v: jnp.ndarray, mesh: Mesh,
@@ -112,37 +124,41 @@ def sharded_gram_solve(
 
 
 def _solve_or_apply(spec, b, mesh, axis, mode, maxiter=20, tol=1e-8):
-    if spec.ndim != 2:
-        raise NotImplementedError("grid sharding currently supports 2-D grids")
+    nd = spec.ndim
+    if nd < 2:
+        raise NotImplementedError("grid sharding needs >= 2 grid dims")
     n = mesh.shape[axis]
-    L0, L1 = spec.edims
+    edims = spec.edims
+    L0, Lm = edims[0], edims[-1]
     if L0 % n:
         raise ValueError(f"expanded leading dim {L0} not divisible by {n} shards")
-    m0, m1 = spec.dims
+    if Lm % n:
+        raise ValueError(f"expanded minor dim {Lm} not divisible by {n} shards")
     B = b.shape[0]
     dtype = b.dtype
 
-    # embed (B, M) into expanded space (B, L0, L1), zero-padded
-    x = b.reshape(B, m0, m1)
-    x = jnp.pad(x, ((0, 0), (0, L0 - m0), (0, L1 - m1)))
+    # embed (B, M) into expanded space, zero-padded
+    x = b.reshape((B,) + spec.dims)
+    pad = [(0, 0)] + [(0, e - d) for d, e in zip(spec.dims, edims)]
+    x = jnp.pad(x, pad)
 
-    Q0 = _real_fourier_basis(L0, dtype)
-    Q1 = _real_fourier_basis(L1, dtype)
-    wfull = _full_weights(spec.eigs, L1)  # (L0, L1)
+    Qs = [_real_fourier_basis(L, dtype) for L in edims]
+    wfull = _full_weights(spec.eigs, Lm)  # (*edims)
 
     rows = L0 // n
+    local_edims = (rows,) + edims[1:]
 
     def local_fn(xl, w_l, wsqrt_l, winv_l):
-        # xl: (B, rows, L1) row shard; w_*: (L0, L1/n) column shards (the
-        # scale happens after the all_to_all transpose)
+        # xl: (B, rows, L1, ..., Lm) row shard; w_*: weight shards split on
+        # the MINOR axis (the scale happens after the all_to_all transpose)
         idx = jax.lax.axis_index(axis)
         mask = _mask_local(spec, n, idx, dtype).reshape(-1)
 
-        # pcg works on flat (B, rows*L1) local vectors so its axpys and
-        # reductions stay one-axis; the circulant apply reshapes internally
+        # pcg works on flat (B, local) vectors so its axpys and reductions
+        # stay one-axis; the circulant apply reshapes internally
         def cmul(vflat, w):
-            v = vflat.reshape(B, rows, L1)
-            out = _sharded_circulant_apply(v, w, Q0, Q1, axis)
+            v = vflat.reshape((B,) + local_edims)
+            out = _sharded_circulant_apply(v, w, Qs, axis)
             return out.reshape(B, -1)
 
         def kv(vflat):
@@ -156,24 +172,27 @@ def _solve_or_apply(spec, b, mesh, axis, mode, maxiter=20, tol=1e-8):
 
         xflat = xl.reshape(B, -1)
         if mode == "apply":
-            return kv(xflat).reshape(B, rows, L1)
+            return kv(xflat).reshape((B,) + local_edims)
         sol = pcg(kv, xflat * mask, precond=cinv, maxiter=maxiter, tol=tol,
                   dot_fn=dot)
         if mode == "solve":
-            return sol.reshape(B, rows, L1)
+            return sol.reshape((B,) + local_edims)
         # whiten: R^T d = C^{1/2} [d; 0] (full expanded output)
-        return cmul(sol * mask, wsqrt_l).reshape(B, rows, L1)
+        return cmul(sol * mask, wsqrt_l).reshape((B,) + local_edims)
+
+    data_spec = P(*([None, axis] + [None] * (nd - 1)))
+    w_spec = P(*([None] * (nd - 1) + [axis]))  # weights split on minor axis
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis, None),
+        in_specs=(data_spec, w_spec, w_spec, w_spec),
+        out_specs=data_spec,
         check_vma=False,
     )
     out = fn(x, wfull, jnp.sqrt(wfull), 1.0 / wfull)
 
     if mode == "whiten":
         return out.reshape(B, -1)
-    # crop back to original grid
-    return out[:, :m0, :m1].reshape(B, -1)
+    crop = tuple([slice(None)] + [slice(0, d) for d in spec.dims])
+    return out[crop].reshape(B, -1)

@@ -61,3 +61,24 @@ def test_sharded_rejects_bad_shard_count():
     b = jnp.ones((1, spec.M))
     with pytest.raises(ValueError):
         sharded_gram_solve(spec, b, mesh)  # edims[0]=6 not divisible by 8
+
+
+def test_sharded_3d_matches_single_device():
+    """3-D grid sharding (the dust-map regime)."""
+    grids = [jnp.linspace(0.0, 1.0, 9), jnp.linspace(0.0, 1.0, 7),
+             jnp.linspace(0.0, 1.0, 5)]
+    kf = lambda a, b: SqExp()(a, b, (1.0, 0.2))
+    spec = make_spectrum(grids, kf, jitter=1e-3)
+    assert spec.edims[0] % 8 == 0 and spec.edims[-1] % 8 == 0, spec.edims
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((3, spec.M)))
+    mesh = make_mesh(8, axis_names=("grid",))
+    np.testing.assert_allclose(
+        np.asarray(sharded_matmul_by_K(spec, b, mesh)),
+        np.asarray(matmul_by_K(spec, b)), rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_gram_solve(spec, b, mesh, maxiter=150, tol=1e-12)),
+        np.asarray(gram_solve(spec, b, maxiter=150, tol=1e-12)),
+        rtol=1e-7, atol=1e-9,
+    )
