@@ -1,6 +1,7 @@
 """Experiment harness + paper experiment drivers."""
 from .harness import evaluate_and_save, fit_predict_and_save, make_model
 from . import (
+    demo_1d,
     preconditioner_analysis,
     run_3droad,
     run_derivative_1d,
@@ -13,6 +14,7 @@ from . import (
 )
 
 __all__ = [
+    "demo_1d",
     "evaluate_and_save",
     "fit_predict_and_save",
     "make_model",

@@ -20,6 +20,7 @@ from .cg import PCGResult, pcg, pcg_result, pcg_scan, pcg_trace
 from .solve import cholesky_whiten, gram_solve, inv_matmul, spd_inverse, spd_solve, whiten
 from .bidiag import bidiag_solve, golub_kahan_bidiag
 from .tridiag import tridiagonal_solve
+from .toeplitz_dense import sym_toeplitz, sym_toeplitz_matmul, toeplitz, toeplitz_matmul
 
 __all__ = [
     "BTTBSpectrum",
@@ -50,4 +51,8 @@ __all__ = [
     "bidiag_solve",
     "golub_kahan_bidiag",
     "tridiagonal_solve",
+    "toeplitz",
+    "sym_toeplitz",
+    "toeplitz_matmul",
+    "sym_toeplitz_matmul",
 ]

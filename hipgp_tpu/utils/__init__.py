@@ -1,4 +1,4 @@
 """Support utilities: statistics, block indexing, config, metrics, checkpointing."""
-from . import blocks, checkpoint, metrics, stats
+from . import blocks, checkpoint, metrics, naming, profiling, stats
 
-__all__ = ["blocks", "checkpoint", "metrics", "stats"]
+__all__ = ["blocks", "checkpoint", "metrics", "naming", "profiling", "stats"]

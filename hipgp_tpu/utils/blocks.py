@@ -16,7 +16,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["block_indices", "to_blocks", "from_blocks"]
+__all__ = ["block_indices", "interleaved_block_indices", "to_blocks", "from_blocks"]
 
 
 def block_indices(dims: Sequence[int], chunk_sizes: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
@@ -66,3 +66,26 @@ def from_blocks(vb: jnp.ndarray, inverse: jnp.ndarray) -> jnp.ndarray:
     """(..., num_blocks, block_size) block order -> (..., M) Toeplitz order."""
     flat = vb.reshape(vb.shape[:-2] + (-1,))
     return flat[..., inverse]
+
+
+def interleaved_block_indices(dims: Sequence[int], num_blocks_per_dim: int) -> np.ndarray:
+    """Strided (interleaved) block grouping: block (bx, by, ...) owns every
+    num_blocks_per_dim-th point starting at its offset.
+
+    The reference keeps this as an unused alternative to neighboring chunks
+    (`ziggy/misc/util.py:155-198`); provided for parity.  Returns
+    (num_blocks, block_size) int32 flat indices in C order.
+    """
+    dims = tuple(int(d) for d in dims)
+    nb = int(num_blocks_per_dim)
+    for d in dims:
+        if d % nb != 0:
+            raise ValueError(f"grid dim {d} not divisible by {nb}")
+    flat = np.arange(int(np.prod(dims)), dtype=np.int64).reshape(dims)
+    blocks = []
+    from itertools import product
+
+    for offs in product(range(nb), repeat=len(dims)):
+        idx = tuple(slice(o, None, nb) for o in offs)
+        blocks.append(flat[idx].reshape(-1))
+    return np.stack(blocks).astype(np.int32)

@@ -131,3 +131,34 @@ def test_matvec_f32_close_to_f64(rng):
     np.testing.assert_allclose(
         np.asarray(got32), np.asarray(got64), rtol=2e-4, atol=2e-5
     )
+
+
+def test_ard_spectrum_matches_dense(rng):
+    """ARD (per-dimension) lengthscales through the wrapped-lag embedding."""
+    from hipgp_tpu.ops import make_spectrum, matmul_by_K, dense_gram
+
+    grids = _grids((12, 10))
+    ell = jnp.asarray([0.08, 0.14])
+    kfun = lambda x, y: SqExp()(x, y, (1.1, ell))
+    spec = make_spectrum(grids, kfun, jitter=1e-3)
+    K = dense_gram(grids, kfun, jitter=1e-3)
+    v = jnp.asarray(rng.standard_normal((3, K.shape[0])))
+    np.testing.assert_allclose(
+        np.asarray(matmul_by_K(spec, v)), np.asarray(v @ K.T), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_1d_grid_model_supported(rng):
+    """HIPGP on a single 1-D grid (the reference asserts len(xgrids) > 1;
+    we support 1-D, used by the derivative-observation workflow)."""
+    from hipgp_tpu.models import HIPGP
+
+    grid = jnp.linspace(0.0, 1.0, 16)
+    model = HIPGP(SqExp(), [grid], num_obs=30, family="mean-field",
+                  whitened_type="ziggy", ell_init=0.1, noise2_init=0.01)
+    x = jnp.asarray(rng.uniform(0, 1, (30, 1)))
+    y = jnp.sin(5 * x[:, 0])
+    s = jnp.full(30, 0.1)
+    st = model.batch_solve(model.init_state(), x, y, s, maxiter_cg=100)
+    mu, sig = model.predict(st, x, maxiter_cg=100)
+    assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.2

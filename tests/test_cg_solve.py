@@ -208,3 +208,28 @@ def test_bidiag_solve_full_rank_matches_formula(rng):
     e1[0] = float(f.alphas[0, 0]) * float(jnp.linalg.norm(b[:, 0]))
     want = V @ np.linalg.solve(BBt, e1)
     np.testing.assert_allclose(np.asarray(c[:, 0]), want, rtol=1e-6, atol=1e-8)
+
+
+def test_dense_toeplitz_constructors_and_matmul(rng):
+    from hipgp_tpu.ops import sym_toeplitz, toeplitz, toeplitz_matmul
+
+    c = jnp.asarray(rng.standard_normal(6))
+    r = jnp.asarray(np.concatenate([[float(c[0])], rng.standard_normal(4)]))
+    T = np.asarray(toeplitz(c, r))
+    for i in range(6):
+        for j in range(5):
+            want = float(c[i - j]) if i >= j else float(r[j - i])
+            assert T[i, j] == pytest.approx(want)
+    v = jnp.asarray(rng.standard_normal((3, 5)))
+    got = toeplitz_matmul(c, r, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(v) @ T.T, rtol=1e-9, atol=1e-11)
+    Ts = np.asarray(sym_toeplitz(c))
+    np.testing.assert_allclose(Ts, Ts.T)
+
+
+def test_interleaved_blocks_partition():
+    from hipgp_tpu.utils.blocks import interleaved_block_indices
+
+    blk = interleaved_block_indices((8, 8), 4)
+    assert blk.shape == (16, 4)
+    assert sorted(blk.reshape(-1).tolist()) == list(range(64))

@@ -111,3 +111,12 @@ def test_preconditioner_analysis(tmp_path):
     assert (tmp_path / "r_pcg.csv").exists()
     # the preconditioner helps: r_pcg < 1
     assert (df["r_pcg"] <= 1.0).all()
+
+
+def test_demo_1d(tmp_path):
+    from hipgp_tpu.experiments import demo_1d
+
+    res = demo_1d.main(["--n", "150", "--num-inducing", "24",
+                        "--out", str(tmp_path / "demo.png")])
+    assert (tmp_path / "demo.png").exists()
+    assert set(res) == {"SVGP (dense)", "HIP-GP (mean-field)"}
