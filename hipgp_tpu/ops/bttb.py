@@ -253,6 +253,19 @@ MATMUL_DFT_MAX_LEN = 512
 # DFT-style sums cancel heavily; single-pass bf16 matmuls lose ~1e-1
 # relative.  HIGHEST (6-pass) keeps the path at f32 accuracy.
 MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
+# A fused Pallas kernel for the 2-D transform exists
+# (ops/pallas_transform.py) but measured SLOWER than the einsum chain on
+# v5e (522 ms vs 74 ms for a 30-iteration whiten at batch 1000): with
+# HIGHEST-precision matmuls the einsum path is already MXU-compute-bound,
+# so there is no HBM-fusion win to capture, and Mosaic lowers the blocked
+# rank-3 dots poorly.  Kept as an opt-in alternative.
+USE_PALLAS_TRANSFORM = False
+
+
+def _pallas_max_len() -> int:
+    from .pallas_transform import PALLAS_MAX_LEN
+
+    return PALLAS_MAX_LEN
 
 _BASIS_CACHE: dict = {}
 
@@ -337,14 +350,29 @@ def _apply_spectrum_matmul(
         pad = [(0, 0)] * len(batch) + [(0, e - d) for d, e in zip(dims, edims)]
         x = jnp.pad(x, pad)
 
-    # Contraction ORDER is the performance lever on TPU: analyze the minor
-    # (lane) axis first and synthesize it last — measured 3.8 ms vs 50 ms
-    # for the opposite order at (1000, 128, 128).
-    for a in range(-1, -nd - 1, -1):
-        x = _axis_transform(x, a, edims[a], dtype, inverse=False)
-    x = x * weights_full
-    for a in range(-nd, 0):
-        x = _axis_transform(x, a, edims[a], dtype, inverse=True)
+    if (
+        USE_PALLAS_TRANSFORM
+        and nd == 2
+        and jax.default_backend() == "tpu"
+        and max(edims) <= _pallas_max_len()
+    ):
+        # fused VMEM-resident kernel: one HBM read + one write per sample
+        from .pallas_transform import circulant_apply_2d
+
+        Q0 = _real_fourier_basis(edims[0], dtype)
+        Q1 = _real_fourier_basis(edims[1], dtype)
+        x = circulant_apply_2d(
+            x.reshape((-1,) + edims), Q0, Q1, weights_full
+        ).reshape(batch + edims)
+    else:
+        # Contraction ORDER is the performance lever on TPU: analyze the
+        # minor (lane) axis first and synthesize it last — measured 3.8 ms
+        # vs 50 ms for the opposite order at (1000, 128, 128).
+        for a in range(-1, -nd - 1, -1):
+            x = _axis_transform(x, a, edims[a], dtype, inverse=False)
+        x = x * weights_full
+        for a in range(-nd, 0):
+            x = _axis_transform(x, a, edims[a], dtype, inverse=True)
 
     y = x
     if out_expanded:
