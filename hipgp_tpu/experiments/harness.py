@@ -235,6 +235,7 @@ def fit_predict_and_save(
     fit_config: Optional[FitConfig] = None,
     batch_solve_bsz: int = -1,
     maxiter_cg: int = 10,
+    mean_solver: str = "dense",
     xtest=None, etest=None, ftest=None,
     xvalid=None, evalid=None, fvalid=None,
     xgrid=None, egrid=None, fgrid=None,
@@ -321,6 +322,9 @@ def fit_predict_and_save(
                 semi_integrated_estimator=cfg.semi_integrated_estimator,
                 semi_integrated_samps=cfg.num_semi_mc_samples,
                 compute_elbo=True,
+                **({"mean_solver": mean_solver}
+                   if getattr(model, "family", None) in ("mean-field", "block")
+                   else {}),
             )
         )
         state, elbo = solve(state)

@@ -44,10 +44,16 @@ def main(argv=None):
     p.add_argument("--maxiter-cg", type=int, default=10)
     p.add_argument("--xblock-size", type=int, default=5)
     p.add_argument("--integrated-obs", action="store_true")
+    p.add_argument("--ell-sweep", type=float, nargs=3, metavar=("MIN", "MAX", "STEP"),
+                   default=None,
+                   help="grid-search the lengthscale by batch-solve ELBO "
+                        "before fitting (the reference's ell annealing)")
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg"])
     p.add_argument("--output-dir", default="./output-synthetic")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
+    os.makedirs(args.output_dir, exist_ok=True)
     d = make_two_dim_data(
         Nobs=args.nobs, Ntest=args.ntest, noise_std=args.noise_std,
         function_complexity=args.function_complexity,
@@ -61,6 +67,28 @@ def main(argv=None):
         maxiter_cg=args.maxiter_cg, integrated_obs=args.integrated_obs,
     )
 
+    ell = args.ell
+    if args.ell_sweep is not None:
+        from ..experiments.harness import make_model as _mk
+        from ..infer import ell_fit
+
+        probe = _mk("mean-field", args.kernel, grids, num_obs=len(d["xobs"]),
+                    sig2_init=float(np.var(yobs)), ell_init=args.ell,
+                    noise2_init=args.noise_std**2,
+                    support_integrated_obs=args.integrated_obs,
+                    dtype=jnp.float64 if args.f64 else jnp.float32)
+        _, best_ell, ells, elbos = ell_fit(
+            probe, probe.init_state(), d["xobs"], yobs, d["sobs"],
+            ell_min=args.ell_sweep[0], ell_max=args.ell_sweep[1],
+            ell_step_size=args.ell_sweep[2],
+            batch_solve_bsz=args.batch_size, maxiter_cg=args.maxiter_cg,
+            integrated_obs=args.integrated_obs,
+        )
+        ell = best_ell
+        pd.DataFrame({"ell": ells, "elbo": elbos}).to_csv(
+            os.path.join(args.output_dir, "ell_sweep.csv"), index=False)
+        print(f"ell sweep selected ell = {ell}")
+
     summaries = []
     for model_class in args.models:
         name = f"{model_class}-{args.kernel}"
@@ -72,12 +100,13 @@ def main(argv=None):
             model_class=model_class,
             kernel=args.kernel,
             sig2_init="marginal",
-            ell_init=args.ell,
+            ell_init=ell,
             noise2_init=args.noise_std**2,
             block_sizes=(args.xblock_size, args.xblock_size),
             fit_method=args.fit_method,
             fit_config=cfg,
             maxiter_cg=args.maxiter_cg,
+            mean_solver=args.mean_solver,
             xtest=d["xtest"], ftest=d["ftest"], etest=d["etest"],
             xgrid=d["xgrid"], fgrid=d["fgrid"],
             grid_shape=d["grid_shape"], grid_extent=d["grid_extent"],

@@ -1,7 +1,7 @@
 """TPU parallelism: device meshes, exact data-parallel solves/training,
 grid-sharded FFT solves."""
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
-from .dp import dp_batch_solve, dp_elbo_and_grads, make_dp_train_step
+from .dp import dp_batch_solve, dp_elbo_and_grads, dp_svigp_fit, make_dp_train_step
 from .fft_sharded import (
     sharded_gram_solve,
     sharded_inv_matmul,
@@ -18,6 +18,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "dp_batch_solve",
+    "dp_svigp_fit",
     "dp_elbo_and_grads",
     "make_dp_train_step",
 ]

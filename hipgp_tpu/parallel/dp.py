@@ -216,3 +216,48 @@ def make_dp_train_step(model, config, opt, mesh, axis: str = "dp"):
         return state, opt_state, elbo
 
     return train_step
+
+
+def dp_svigp_fit(model, state, xtrain, ytrain, noise_std_train, config, mesh,
+                 axis: str = "dp", verbose: bool = True):
+    """Data-parallel svigp_fit: per-epoch host loop over macro-batches whose
+    rows are sharded across the mesh.  Returns (state, report) matching
+    `infer.svigp_fit`."""
+    import time
+
+    from ..infer.fit import make_optimizer, prepare_batches
+
+    xb, yb, sb, w = prepare_batches(
+        jnp.asarray(xtrain, model.dtype),
+        jnp.asarray(ytrain, model.dtype),
+        None if config.learn_noise or noise_std_train is None
+        else jnp.asarray(noise_std_train, model.dtype),
+        config.batch_size,
+    )
+    nb = xb.shape[0]
+    # the jitted step donates its state buffers; keep the caller's copy alive
+    state = jax.tree.map(lambda a: a + 0, state)
+    opt = make_optimizer(state, config)
+    opt_state = opt.init(state)
+    step = make_dp_train_step(model, config, opt, mesh, axis=axis)
+
+    trace, epoch_elbos, epoch_times = [], [], []
+    ones = jnp.ones_like(yb[0])
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        elbos = []
+        for i in range(nb):
+            sb_i = sb[i] if sb is not None else ones
+            state, opt_state, elbo = step(state, opt_state, xb[i], yb[i],
+                                          sb_i, w[i])
+            elbos.append(elbo)
+        jax.block_until_ready(state.theta1)
+        elbos = [float(e) for e in elbos]
+        trace.extend(elbos)
+        epoch_elbos.append(sum(elbos) / len(elbos))
+        epoch_times.append(time.time() - t0)
+        if verbose:
+            print(f"[dp] epoch {epoch}: elbo {epoch_elbos[-1]:.4f} "
+                  f"({epoch_times[-1]:.2f}s)")
+    return state, {"elbo_trace": trace, "epoch_elbos": epoch_elbos,
+                   "epoch_times": epoch_times}

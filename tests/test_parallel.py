@@ -97,3 +97,19 @@ def test_dp_train_step_runs_and_improves():
         st, opt_state, elbo = step(st, opt_state, x, y, s, w)
         elbos.append(float(elbo))
     assert elbos[-1] > elbos[0]
+
+
+def test_dp_svigp_fit_matches_single_device():
+    """Full dp fit loop == single-device svigp_fit (same batches, same opt)."""
+    from hipgp_tpu.infer import FitConfig, svigp_fit
+    from hipgp_tpu.parallel.dp import dp_svigp_fit
+
+    model, st, x, y, s = setup()
+    cfg = FitConfig(epochs=3, batch_size=32, lr=0.05, maxiter_cg=50,
+                    schedule_lr=True)
+    mesh = make_mesh(8)
+    st_dp, rep_dp = dp_svigp_fit(model, st, x, y, s, cfg, mesh, verbose=False)
+    st_1d, rep_1d = svigp_fit(model, st, x, y, s, cfg, verbose=False)
+    np.testing.assert_allclose(np.asarray(st_dp.theta1), np.asarray(st_1d.theta1),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(rep_dp["epoch_elbos"], rep_1d["epoch_elbos"], rtol=1e-8)
