@@ -26,8 +26,14 @@ from ..ops import cholesky_whiten, dense_gram, gram_solve, make_spectrum
 CHOLESKY_MAX_M = 50_000
 
 
-def time_fn(f, x, reps=5):
+def time_fn(f, x, reps=5, warmup=3):
+    # several chained warmups: the runtime's first executions of a program
+    # on fresh operand buffers run far slower than steady state (measured
+    # ~30x on v5e through the remote-dispatch layer)
     out = jax.block_until_ready(f(x))
+    for _ in range(warmup):
+        x = x + 1e-9 * out[:, : x.shape[1]]
+        out = jax.block_until_ready(f(x))
     t0 = time.perf_counter()
     for _ in range(reps):
         x = x + 1e-9 * out[:, : x.shape[1]]

@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--no-schedule-lr", action="store_true",
+                   help="constant natgrad lr (the reference run script's default)")
     p.add_argument("--maxiter-cg", type=int, default=10)
     p.add_argument("--xblock-size", type=int, default=5)
     p.add_argument("--integrated-obs", action="store_true")
@@ -65,6 +67,7 @@ def main(argv=None):
     cfg = FitConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         maxiter_cg=args.maxiter_cg, integrated_obs=args.integrated_obs,
+        schedule_lr=not args.no_schedule_lr,
     )
 
     ell = args.ell

@@ -87,9 +87,25 @@ def next_fast_len(n: int) -> int:
     return best
 
 
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
 def embedded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
-    """Actual (FFT-friendly) embedding size per grid dim."""
-    return tuple(next_fast_len(e) for e in expanded_dims(dims))
+    """Actual (transform-friendly) embedding size per grid dim.
+
+    Small axes (handled by the MXU matmul transform) use the minimal
+    {2,3,5}-smooth length — matmul cost is insensitive to factorization.
+    Large axes go through XLA's FFT, whose device time is erratic across
+    smooth radices on TPU (measured: L=10^4 = 2^4*5^4 runs ~100x slower than
+    L=2^14 or even L=2*10^4), so they pad to the next power of two (<= 2x
+    memory, reliably fast).
+    """
+    out = []
+    for e in expanded_dims(dims):
+        smooth = next_fast_len(e)
+        out.append(smooth if smooth <= MATMUL_DFT_MAX_LEN else _next_pow2(e))
+    return tuple(out)
 
 
 @struct.dataclass
