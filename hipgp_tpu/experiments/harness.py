@@ -269,6 +269,15 @@ def fit_predict_and_save(
     cfg = fit_config or FitConfig()
     cfg = dataclasses.replace(cfg, maxiter_cg=maxiter_cg)
     integrated = cfg.integrated_obs
+    # analytic semi-integrated covariances exist only for SqExp; fall back
+    # to the MC estimator otherwise (reference `ziggy/svi_gp.py:225-231`)
+    if integrated and kernel != "SqExp":
+        if cfg.semi_integrated_estimator == "analytic":
+            cfg = dataclasses.replace(
+                cfg,
+                semi_integrated_estimator="mc-biased",
+                predict_ksemi_method="mc-biased",
+            )
 
     model = make_model(
         model_class, kernel, xinduce_grids,

@@ -113,7 +113,7 @@ def make_train_step(model, config: FitConfig, opt):
         z = lambda a: jnp.zeros_like(a)
         if not config.learn_kernel:
             g = g.replace(log_sig2=z(g.log_sig2), log_ell=z(g.log_ell))
-        if not config.learn_noise:
+        if not config.learn_noise and hasattr(g, "log_noise2"):
             g = g.replace(log_noise2=z(g.log_noise2))
         return g
 

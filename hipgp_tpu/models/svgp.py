@@ -153,7 +153,7 @@ class SVGP:
 
     def elbo(self, state, x, y, noise_std, integrated_obs=False,
              semi_integrated_estimator="analytic", semi_integrated_samps=10,
-             key=None):
+             key=None, weights=None, **_):
         Knm, Knn_diag = self.make_grams(
             state, x, integrated_obs, semi_integrated_estimator,
             semi_integrated_samps, key,
@@ -162,18 +162,33 @@ class SVGP:
         kn = self.make_kn(state, Knm, Kmm)
         qm, qS = self.standard_params(state)
         an = self.batch_an(y, noise_std, kn, Knm, Knn_diag, qm, qS)
-        return jnp.mean(an) - self._kl(state, qm, qS, Kmm) / self.N
+        if weights is not None:
+            mean_an = jnp.sum(an * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+        else:
+            mean_an = jnp.mean(an)
+        return mean_an - self._kl(state, qm, qS, Kmm) / self.N
 
     def elbo_and_grads(self, state, x, y, noise_std,
                        integrated_obs=False,
                        semi_integrated_estimator="analytic",
                        semi_integrated_samps=10, key=None,
-                       compute_kernel_grads=False):
+                       compute_kernel_grads=False,
+                       compute_hyper_grads=None,
+                       weights=None, **_):
         """(elbo, grads) with natgrad theta leaves in optax convention
-        (`ziggy/svgp.py:280-359` without the hard-coded 1000/N rescale)."""
+        (`ziggy/svgp.py:280-359` without the hard-coded 1000/N rescale).
+
+        Signature-compatible with HIPGP.elbo_and_grads so the shared SVI
+        loop drives either model (maxiter_cg etc. accepted and ignored;
+        ``compute_hyper_grads`` aliases ``compute_kernel_grads``)."""
+        if compute_hyper_grads is not None:
+            compute_kernel_grads = compute_hyper_grads
         y = y.reshape(-1)
         ns = noise_std.reshape(-1)
-        bscale = self.N / y.shape[0]
+        if weights is not None:
+            bscale = self.N / jnp.maximum(jnp.sum(weights), 1.0)
+        else:
+            bscale = self.N / y.shape[0]
 
         def elbo_fn(log_sig2, log_ell):
             st = state.replace(
@@ -183,7 +198,8 @@ class SVGP:
                 log_ell=log_ell,
             )
             e = self.elbo(st, x, y, noise_std, integrated_obs,
-                          semi_integrated_estimator, semi_integrated_samps, key)
+                          semi_integrated_estimator, semi_integrated_samps,
+                          key, weights=weights)
             return e + self.kernel_param_prior(st) / self.N
 
         if compute_kernel_grads:
@@ -194,7 +210,8 @@ class SVGP:
             elbo = val
         else:
             elbo = self.elbo(state, x, y, noise_std, integrated_obs,
-                             semi_integrated_estimator, semi_integrated_samps, key)
+                             semi_integrated_estimator, semi_integrated_samps,
+                             key, weights=weights)
             g_sig2 = jnp.zeros_like(state.log_sig2)
             g_ell = jnp.zeros_like(state.log_ell)
 
@@ -204,13 +221,16 @@ class SVGP:
         Kmm = self._kmm(state)
         kn = self.make_kn(state, Knm, Kmm)
         kn_t = kn / ns[:, None]
+        if weights is not None:
+            kn_t = kn_t * jnp.sqrt(weights)[:, None]
         if self.whitened:
             prior_prec = jnp.eye(self.M, dtype=kn.dtype)
         else:
             prior_prec = spd_inverse(Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype))
         Lam = bscale * (kn_t.T @ kn_t) + prior_prec
         dS = -0.5 * Lam - state.theta2
-        uhat = kn_t.T @ (y / ns)
+        yw = (y / ns) if weights is None else (y / ns) * jnp.sqrt(weights)
+        uhat = kn_t.T @ yw
         dm = bscale * uhat - state.theta1
 
         grads = SVGPState(

@@ -186,7 +186,7 @@ def make_dp_train_step(model, config, opt, mesh, axis: str = "dp"):
         z = jnp.zeros_like
         if not config.learn_kernel:
             g = g.replace(log_sig2=z(g.log_sig2), log_ell=z(g.log_ell))
-        if not config.learn_noise:
+        if not config.learn_noise and hasattr(g, "log_noise2"):
             g = g.replace(log_noise2=z(g.log_noise2))
         return g
 

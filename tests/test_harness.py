@@ -114,3 +114,50 @@ def test_block_model_factory():
                    block_sizes=(5, 5))
     assert m.family == "block"
     assert m.num_blocks * m.block_size == m.Mprime
+
+
+def test_svgp_through_natgrad_harness(tmp_path):
+    """The shared SVI loop drives the dense SVGP model (signature parity)."""
+    d = small_data()
+    cfg = FitConfig(epochs=2, batch_size=100, lr=0.02)
+    model, state, report = fit_predict_and_save(
+        name="svgp-natgrad",
+        xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+        xinduce_grids=[np.linspace(-1, 1, 6)] * 2,
+        model_class="SVGP",
+        kernel="SqExp",
+        ell_init=0.3,
+        fit_method="natgrad",
+        fit_config=cfg,
+        xtest=d["xtest"], ftest=d["ftest"],
+        output_dir=str(tmp_path),
+        dtype=jnp.float64,
+    )
+    assert report["epoch_elbos"][-1] >= report["epoch_elbos"][0] - 1e-6
+    assert (tmp_path / "svgp-natgrad" / "predictions.npz").exists()
+
+
+def test_gneiting_integrated_falls_back_to_mc(tmp_path):
+    """Non-SqExp kernel + integrated obs: estimator auto-falls back to MC."""
+    rng = np.random.default_rng(3)
+    n = 60
+    x = rng.uniform(0.3, 0.95, (n, 2))
+    y = rng.standard_normal(n) * 0.1 + 1.0
+    s = np.full(n, 0.1)
+    cfg = FitConfig(integrated_obs=True)
+    model, state, report = fit_predict_and_save(
+        name="gneit-int",
+        xobs=x, yobs=y, sobs=s,
+        xinduce_grids=[np.linspace(0, 1, 5)] * 2,
+        model_class="mean-field",
+        kernel="Mat32",
+        ell_init=0.4,
+        fit_method="full-batch",
+        fit_config=cfg,
+        maxiter_cg=30,
+        xtest=x[:20], etest=y[:20],
+        output_dir=str(tmp_path),
+        dtype=jnp.float64,
+    )
+    preds = np.load(tmp_path / "gneit-int" / "predictions.npz")
+    assert np.all(np.isfinite(preds["emu_test"]))
