@@ -236,6 +236,7 @@ def fit_predict_and_save(
     batch_solve_bsz: int = -1,
     maxiter_cg: int = 10,
     mean_solver: str = "dense",
+    theta2_warmstart: bool = False,
     xtest=None, etest=None, ftest=None,
     xvalid=None, evalid=None, fvalid=None,
     xgrid=None, egrid=None, fgrid=None,
@@ -314,6 +315,7 @@ def fit_predict_and_save(
         state, report = svigp_fit(
             model, state, xobs, yobs, sobs, cfg,
             verbose=True,
+            theta2_warmstart=theta2_warmstart,
         )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
     elif fit_method == "full-batch":

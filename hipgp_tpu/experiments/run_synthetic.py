@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--theta2-warmstart", action="store_true",
+                   help="one Lambda-only sweep initializes theta2 before SVI")
     p.add_argument("--no-schedule-lr", action="store_true",
                    help="constant natgrad lr (the reference run script's default)")
     p.add_argument("--maxiter-cg", type=int, default=10)
@@ -110,6 +112,7 @@ def main(argv=None):
             fit_config=cfg,
             maxiter_cg=args.maxiter_cg,
             mean_solver=args.mean_solver,
+            theta2_warmstart=args.theta2_warmstart,
             xtest=d["xtest"], ftest=d["ftest"], etest=d["etest"],
             xgrid=d["xgrid"], fgrid=d["fgrid"],
             grid_shape=d["grid_shape"], grid_extent=d["grid_extent"],

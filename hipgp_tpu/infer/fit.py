@@ -169,6 +169,7 @@ def svigp_fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    theta2_warmstart: bool = False,
 ):
     """Fit variational (and optionally hyper) parameters.
 
@@ -190,6 +191,14 @@ def svigp_fit(
         None if noise is None else jnp.asarray(noise, model.dtype),
         config.batch_size,
     )
+
+    if theta2_warmstart and hasattr(model, "get_lam"):
+        # One Lambda-only sweep sets theta2 ~ -(Lambda+I)/2 before SVI.
+        # The raw natural-gradient iteration overshoots badly while theta2
+        # (the metric) is still at its init — the reference suffers the same
+        # transient (ELBO dives orders of magnitude before recovering); a
+        # warm metric removes it at the cost of one data pass.
+        state = _theta2_warmstart(model, state, xb, yb, sb, w, config)
 
     opt = make_optimizer(state, config)
     opt_state = opt.init(state)
@@ -253,6 +262,44 @@ def svigp_fit(
         "noise2_trace": noise2_trace,
     }
     return state, report
+
+
+def _theta2_warmstart(model, state, xb, yb, sb, w, config):
+    """theta2 <- -(Lambda + I)/2 from one Lambda-only pass over the data."""
+
+    @jax.jit
+    def sweep(state):
+        spec = model.spectrum(state) if model.whitened_type == "ziggy" else None
+
+        def step(lam_acc, inp):
+            xl, yl, wl, sl = inp
+            ivar = wl / (sl * sl) if sl is not None else wl * jnp.exp(-state.log_noise2)
+            Knm, _ = model.make_grams(
+                state, xl, config.integrated_obs,
+                config.semi_integrated_estimator, config.num_semi_mc_samples,
+            )
+            kn = model.compute_kn(state, Knm, maxiter_cg=config.maxiter_cg,
+                                  spec=spec)
+            return lam_acc + model.get_lam(ivar, kn, add_identity=False), None
+
+        lam0 = jax.tree.map(
+            jnp.zeros_like,
+            model.get_lam(jnp.ones((1,), model.dtype),
+                          jnp.zeros((1, model.Mprime), model.dtype)),
+        )
+        if sb is None:
+            lam, _ = jax.lax.scan(lambda c, i: step(c, (*i, None)),
+                                  lam0, (xb, yb, w))
+        else:
+            lam, _ = jax.lax.scan(lambda c, i: step(c, (i[0], i[1], i[2], i[3])),
+                                  lam0, (xb, yb, w, sb))
+        lam = lam + model.get_lam(
+            jnp.zeros((1,), model.dtype),
+            jnp.zeros((1, model.Mprime), model.dtype), add_identity=True,
+        )
+        return state.replace(theta2=-0.5 * lam)
+
+    return sweep(state)
 
 
 def ell_fit(

@@ -18,6 +18,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the suite is compile-dominated
+from hipgp_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+
 import numpy as np
 import pytest
 

@@ -81,3 +81,17 @@ def test_predictive_variance_correction_positive():
                               jnp.asarray(s), maxiter_cg=50)
     c = predictive_variance_correction(model, state, x, y, s, maxiter_cg=50)
     assert np.isfinite(c) and c >= 0
+
+
+def test_theta2_warmstart_removes_transient():
+    """Warm-started natgrad's first-epoch ELBO vastly exceeds the cold
+    start's, and the fit is at least as good."""
+    model, x, y, s, f = make_problem(n=400, noise=0.05)
+    cfg = FitConfig(epochs=4, batch_size=100, lr=0.05, maxiter_cg=30,
+                    schedule_lr=False)
+    st = model.init_state()
+    _, rep_cold = svigp_fit(model, st, x, y, s, cfg, verbose=False)
+    _, rep_warm = svigp_fit(model, st, x, y, s, cfg, verbose=False,
+                            theta2_warmstart=True)
+    assert rep_warm["epoch_elbos"][0] > rep_cold["epoch_elbos"][0]
+    assert rep_warm["epoch_elbos"][-1] >= rep_cold["epoch_elbos"][-1] - 1e-3
