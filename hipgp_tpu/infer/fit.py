@@ -317,6 +317,7 @@ def ell_fit(
     semi_integrated_estimator: str = "analytic",
     semi_integrated_samps: int = 10,
     verbose: bool = True,
+    **solve_kwargs,
 ):
     """Grid-search the lengthscale by closed-form batch_solve ELBO
     (`ziggy/svi_gp.py:131-169`).  One compile; ell is a traced argument.
@@ -338,6 +339,7 @@ def ell_fit(
             semi_integrated_estimator=semi_integrated_estimator,
             semi_integrated_samps=semi_integrated_samps,
             compute_elbo=True,
+            **solve_kwargs,
         )
 
     ells = np.arange(ell_min, ell_max + ell_step_size, ell_step_size)
