@@ -45,7 +45,7 @@ class FitConfig:
     predict_maxiter_cg: int = 50
     predict_ksemi_method: str = "analytic"
     predict_ksemi_samps: int = 200
-    batch_log_interval: int = 1
+    batch_log_interval: int = 0  # >0: print every k-th batch ELBO
     epoch_log_interval: int = 1
     only_eval_last_epoch: bool = False
     shuffle: bool = False  # reference uses shuffle=False
@@ -139,8 +139,6 @@ def make_train_step(model, config: FitConfig, opt):
     @jax.jit
     def epoch_step(state, opt_state, key, xb, yb, sb, wb):
         if sb is None:
-            inputs = (xb, yb, None, wb)
-
             def bs(c, i):
                 x_, y_, w_ = i
                 return batch_step(c, (x_, y_, None, w_))
@@ -220,11 +218,26 @@ def svigp_fit(
             if verbose:
                 print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
 
+    # pre-shuffle support: one permutation per epoch over the raw rows
+    # (the reference's DataLoader shuffle; its experiments use shuffle=False)
+    if config.shuffle:
+        x_raw = jnp.asarray(xtrain, model.dtype)
+        y_raw = jnp.asarray(ytrain, model.dtype).reshape(-1)
+        s_raw = None if noise is None else jnp.asarray(noise, model.dtype).reshape(-1)
+        shuffle_rng = np.random.default_rng(config.seed)
+
     trace = []
     sig2_trace, ell_trace, noise2_trace = [], [], []
     epoch_times = []
     epoch_elbos = []
     for epoch in range(start_epoch, config.epochs):
+        if config.shuffle:
+            perm = shuffle_rng.permutation(x_raw.shape[0])
+            xb, yb, sb, w = prepare_batches(
+                x_raw[perm], y_raw[perm],
+                None if s_raw is None else s_raw[perm],
+                config.batch_size,
+            )
         t0 = time.time()
         state, opt_state, key, elbos = jax.block_until_ready(
             epoch_step(state, opt_state, key, xb, yb, sb, w)
@@ -239,6 +252,9 @@ def svigp_fit(
             ell_trace.append(float(jnp.exp(jnp.atleast_1d(state.log_ell))[0]))
         if config.learn_noise:
             noise2_trace.append(float(jnp.exp(state.log_noise2)))
+        if verbose and config.batch_log_interval > 0:
+            for bi in range(0, len(elbos_np), config.batch_log_interval):
+                print(f"  ... batch {bi}/{len(elbos_np)}: elbo {elbos_np[bi]:.4f}")
         if verbose and config.epoch_log_interval and epoch % config.epoch_log_interval == 0:
             print(f"epoch {epoch:4d}: elbo {epoch_elbos[-1]:.4f} ({dt:.2f}s)")
         if epoch_callback is not None:

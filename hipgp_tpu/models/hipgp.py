@@ -749,6 +749,36 @@ class HIPGP:
 
         qm, qS = self.standard_params(new_state)
 
+        if collect_kn:
+            # reuse the stacked kn from the solve pass: only the prior
+            # diagonal (cheap) needs computing — no second PCG sweep and no
+            # second cross-covariance evaluation
+            params = self.kernel_params(new_state)
+
+            def diag_of(xb, kb):
+                if integrated_obs:
+                    return self.diag_interp(xb, params)
+                return self.kernel.diag(xb, params)
+
+            def elbo_batch(carry, inp):
+                kn, xb, yb, wb, kb, nsb = inp
+                an = self.batch_an(new_state, yb, nsb, kn, diag_of(xb, kb), qm, qS)
+                return carry + jnp.sum(an * wb), None
+
+            kn_batches = kn_stack[0]
+            if nsp is None:
+                total_an, _ = jax.lax.scan(
+                    lambda c, i: elbo_batch(c, (*i, None)),
+                    jnp.asarray(0.0, self.dtype), (kn_batches, xp, yp, w, keys),
+                )
+            else:
+                total_an, _ = jax.lax.scan(
+                    elbo_batch, jnp.asarray(0.0, self.dtype),
+                    (kn_batches, xp, yp, w, keys, nsp),
+                )
+            elbo = total_an / N - self.kl_to_prior(qm, qS) / self.N
+            return new_state, elbo
+
         def elbo_batch(carry, inp):
             xb, yb, wb, kb, nsb = inp
             kn, Knn_diag = kn_of(xb, kb)

@@ -183,6 +183,12 @@ class SVGP:
         ``compute_hyper_grads`` aliases ``compute_kernel_grads``)."""
         if compute_hyper_grads is not None:
             compute_kernel_grads = compute_hyper_grads
+        if noise_std is None:
+            raise ValueError(
+                "SVGP has no learnable noise parameter (matching the "
+                "reference, ziggy/svgp.py): per-point noise_std is required; "
+                "learn_noise is a HIPGP-only feature"
+            )
         y = y.reshape(-1)
         ns = noise_std.reshape(-1)
         if weights is not None:
@@ -190,36 +196,39 @@ class SVGP:
         else:
             bscale = self.N / y.shape[0]
 
-        def elbo_fn(log_sig2, log_ell):
-            st = state.replace(
-                theta1=jax.lax.stop_gradient(state.theta1),
-                theta2=jax.lax.stop_gradient(state.theta2),
-                log_sig2=log_sig2,
-                log_ell=log_ell,
+        def elbo_parts(st):
+            Knm, Knn_diag = self.make_grams(
+                st, x, integrated_obs, semi_integrated_estimator,
+                semi_integrated_samps, key,
             )
-            e = self.elbo(st, x, y, noise_std, integrated_obs,
-                          semi_integrated_estimator, semi_integrated_samps,
-                          key, weights=weights)
-            return e + self.kernel_param_prior(st) / self.N
+            Kmm = self._kmm(st)
+            kn = self.make_kn(st, Knm, Kmm)
+            qm, qS = self.standard_params(st)
+            an = self.batch_an(y, noise_std, kn, Knm, Knn_diag, qm, qS)
+            if weights is not None:
+                mean_an = jnp.sum(an * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+            else:
+                mean_an = jnp.mean(an)
+            e = mean_an - self._kl(st, qm, qS, Kmm) / self.N
+            return e, (kn, Kmm)
 
         if compute_kernel_grads:
-            (val), grads = jax.value_and_grad(elbo_fn, argnums=(0, 1))(
-                state.log_sig2, state.log_ell
-            )
+            def elbo_fn2(log_sig2, log_ell):
+                st = state.replace(
+                    theta1=jax.lax.stop_gradient(state.theta1),
+                    theta2=jax.lax.stop_gradient(state.theta2),
+                    log_sig2=log_sig2, log_ell=log_ell,
+                )
+                e, aux = elbo_parts(st)
+                return e + self.kernel_param_prior(st) / self.N, aux
+            (elbo, (kn, Kmm)), grads = jax.value_and_grad(
+                elbo_fn2, argnums=(0, 1), has_aux=True
+            )(state.log_sig2, state.log_ell)
             g_sig2, g_ell = (-grads[0], -grads[1])
-            elbo = val
         else:
-            elbo = self.elbo(state, x, y, noise_std, integrated_obs,
-                             semi_integrated_estimator, semi_integrated_samps,
-                             key, weights=weights)
+            elbo, (kn, Kmm) = elbo_parts(state)
             g_sig2 = jnp.zeros_like(state.log_sig2)
             g_ell = jnp.zeros_like(state.log_ell)
-
-        Knm, _ = self.make_grams(state, x, integrated_obs,
-                                 semi_integrated_estimator,
-                                 semi_integrated_samps, key)
-        Kmm = self._kmm(state)
-        kn = self.make_kn(state, Knm, Kmm)
         kn_t = kn / ns[:, None]
         if weights is not None:
             kn_t = kn_t * jnp.sqrt(weights)[:, None]
@@ -240,7 +249,8 @@ class SVGP:
 
     def batch_solve(self, state, xobs, yobs, noise_std, batch_size=-1,
                     integrated_obs=False, semi_integrated_estimator="analytic",
-                    semi_integrated_samps=10, key=None, compute_elbo=False):
+                    semi_integrated_samps=10, key=None, compute_elbo=False,
+                    **_):
         """Closed-form optimal q (`ziggy/svgp.py:169-235`)."""
         N = xobs.shape[0]
         y = yobs.reshape(-1)

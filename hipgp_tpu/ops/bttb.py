@@ -94,18 +94,19 @@ def _next_pow2(n: int) -> int:
 def embedded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
     """Actual (transform-friendly) embedding size per grid dim.
 
-    Small axes (handled by the MXU matmul transform) use the minimal
-    {2,3,5}-smooth length — matmul cost is insensitive to factorization.
-    Large axes go through XLA's FFT, whose device time is erratic across
-    smooth radices on TPU (measured: L=10^4 = 2^4*5^4 runs ~100x slower than
-    L=2^14 or even L=2*10^4), so they pad to the next power of two (<= 2x
-    memory, reliably fast).
+    When every axis fits the MXU matmul transform (<= MATMUL_DFT_MAX_LEN),
+    the minimal {2,3,5}-smooth lengths are used — matmul cost is insensitive
+    to factorization.  If ANY axis exceeds the threshold the whole transform
+    runs through XLA's FFT, whose device time is erratic across smooth
+    radices on TPU (measured: L=10^4 = 2^4*5^4 runs ~100x slower than L=2^14
+    or even L=2*10^4), so in that case EVERY axis pads to the next power of
+    two (<= 2x memory per axis, reliably fast).
     """
-    out = []
-    for e in expanded_dims(dims):
-        smooth = next_fast_len(e)
-        out.append(smooth if smooth <= MATMUL_DFT_MAX_LEN else _next_pow2(e))
-    return tuple(out)
+    exp = expanded_dims(dims)
+    smooth = [next_fast_len(e) for e in exp]
+    if all(s <= MATMUL_DFT_MAX_LEN for s in smooth):
+        return tuple(smooth)
+    return tuple(_next_pow2(e) if e > 1 else e for e in exp)
 
 
 @struct.dataclass

@@ -177,9 +177,15 @@ def dp_elbo_and_grads(model, mesh, axis: str = "dp", **elbo_kwargs):
     return step
 
 
-def make_dp_train_step(model, config, opt, mesh, axis: str = "dp"):
+def make_dp_train_step(model, config, opt, mesh, axis: str = "dp",
+                       has_noise: bool = True):
     """Data-parallel variant of `infer.make_train_step`: one optimizer step
-    on a batch whose rows are sharded across the mesh."""
+    on a batch whose rows are sharded across the mesh.
+
+    ``has_noise=False`` builds a step without a per-point noise input: the
+    model's own log_noise2 drives the likelihood (and can be learned) —
+    substituting a noise of 1.0 would silently change the posterior.
+    """
     learn_hyper = config.learn_kernel or config.learn_noise
 
     def zero_frozen(g):
@@ -194,13 +200,7 @@ def make_dp_train_step(model, config, opt, mesh, axis: str = "dp"):
     bsh = NamedSharding(mesh, P(axis))
     bshx = NamedSharding(mesh, P(axis, None))
 
-    @partial(
-        jax.jit,
-        in_shardings=(rep, rep, bshx, bsh, bsh, bsh),
-        out_shardings=(rep, rep, rep),
-        donate_argnums=(0, 1),
-    )
-    def train_step(state, opt_state, xb, yb, sb, wb):
+    def body(state, opt_state, xb, yb, sb, wb):
         elbo, grads = model.elbo_and_grads(
             state, xb, yb, sb,
             maxiter_cg=config.maxiter_cg,
@@ -214,6 +214,25 @@ def make_dp_train_step(model, config, opt, mesh, axis: str = "dp"):
         updates, opt_state = opt.update(grads, opt_state, state)
         state = optax.apply_updates(state, updates)
         return state, opt_state, elbo
+
+    if has_noise:
+        @partial(
+            jax.jit,
+            in_shardings=(rep, rep, bshx, bsh, bsh, bsh),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        def train_step(state, opt_state, xb, yb, sb, wb):
+            return body(state, opt_state, xb, yb, sb, wb)
+    else:
+        @partial(
+            jax.jit,
+            in_shardings=(rep, rep, bshx, bsh, bsh),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        def train_step(state, opt_state, xb, yb, wb):
+            return body(state, opt_state, xb, yb, None, wb)
 
     return train_step
 
@@ -239,17 +258,20 @@ def dp_svigp_fit(model, state, xtrain, ytrain, noise_std_train, config, mesh,
     state = jax.tree.map(lambda a: a + 0, state)
     opt = make_optimizer(state, config)
     opt_state = opt.init(state)
-    step = make_dp_train_step(model, config, opt, mesh, axis=axis)
+    step = make_dp_train_step(model, config, opt, mesh, axis=axis,
+                              has_noise=sb is not None)
 
     trace, epoch_elbos, epoch_times = [], [], []
-    ones = jnp.ones_like(yb[0])
     for epoch in range(config.epochs):
         t0 = time.time()
         elbos = []
         for i in range(nb):
-            sb_i = sb[i] if sb is not None else ones
-            state, opt_state, elbo = step(state, opt_state, xb[i], yb[i],
-                                          sb_i, w[i])
+            if sb is not None:
+                state, opt_state, elbo = step(state, opt_state, xb[i], yb[i],
+                                              sb[i], w[i])
+            else:
+                state, opt_state, elbo = step(state, opt_state, xb[i], yb[i],
+                                              w[i])
             elbos.append(elbo)
         jax.block_until_ready(state.theta1)
         elbos = [float(e) for e in elbos]

@@ -31,21 +31,22 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.bttb import BTTBSpectrum, _full_weights, _real_fourier_basis
+from ..ops.bttb import (
+    BTTBSpectrum,
+    _axis_contract,
+    _full_weights,
+    _real_fourier_basis,
+)
 from ..ops.cg import pcg
 
 __all__ = ["sharded_gram_solve", "sharded_inv_matmul", "sharded_matmul_by_K"]
 
 
-def _axis_mm(x, Q, axis, precision):
-    """Contract ``axis`` of x with Q, axis kept in place (einsum, no
-    materialized transpose)."""
-    letters = "abcdefghijklmnopqrstuvwxyz"
-    nd = x.ndim
-    axis = axis % nd
-    subs = letters[:nd]
-    out = subs[:axis] + "Z" + subs[axis + 1 :]
-    return jnp.einsum(f"{subs},{subs[axis]}Z->{out}", x, Q, precision=precision)
+def _axis_mm(x, Q, axis, precision=None):
+    """Contract ``axis`` of x with Q, axis kept in place (shared with
+    ops.bttb so the contraction rule cannot drift)."""
+    del precision  # ops.bttb fixes MATMUL_DFT_PRECISION
+    return _axis_contract(x, Q, axis)
 
 
 def _sharded_circulant_apply(x, w_local, Qs, axis_name):

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hipgp_tpu.infer import (
     FitConfig,
@@ -95,3 +96,25 @@ def test_theta2_warmstart_removes_transient():
                             theta2_warmstart=True)
     assert rep_warm["epoch_elbos"][0] > rep_cold["epoch_elbos"][0]
     assert rep_warm["epoch_elbos"][-1] >= rep_cold["epoch_elbos"][-1] - 1e-3
+
+
+def test_shuffle_changes_batches_but_still_fits():
+    model, x, y, s, f = make_problem(n=300)
+    cfg = FitConfig(epochs=4, batch_size=64, lr=0.02, maxiter_cg=30,
+                    shuffle=True)
+    state, report = svigp_fit(model, model.init_state(), x, y, s, cfg,
+                              verbose=False)
+    assert report["epoch_elbos"][-1] > report["epoch_elbos"][0]
+
+
+def test_svgp_requires_noise():
+    from hipgp_tpu.models import SVGP
+    from hipgp_tpu.kernels import SqExp
+
+    xi = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (9, 2)))
+    m = SVGP(SqExp(), xi, num_obs=10)
+    st = m.init_state()
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (10, 2)))
+    y = jnp.zeros(10)
+    with pytest.raises(ValueError, match="noise"):
+        m.elbo_and_grads(st, x, y, None)

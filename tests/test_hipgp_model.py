@@ -337,3 +337,17 @@ def test_fit_resume_roundtrip(tmp_path):
     resumed, _ = svigp_fit(model, st0, x, y, s, cfg, verbose=False,
                            checkpoint_dir=cdir, resume=True)
     np.testing.assert_allclose(np.asarray(resumed.theta1), np.asarray(full.theta1), rtol=1e-6, atol=1e-9)
+
+
+def test_batch_solve_cg_mean_solver_elbo_matches_dense():
+    """compute_elbo with the CG mean solver (stacked-kn reuse path) matches
+    the dense path's ELBO."""
+    x, y, s, _ = make_data()
+    model = make_model("mean-field", "cholesky")
+    st = model.init_state()
+    _, e_dense = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200,
+                                   compute_elbo=True)
+    _, e_cg = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200,
+                                mean_solver="cg", mean_solver_maxiter=500,
+                                mean_solver_tol=1e-12, compute_elbo=True)
+    np.testing.assert_allclose(float(e_cg), float(e_dense), rtol=1e-6)

@@ -113,3 +113,18 @@ def test_dp_svigp_fit_matches_single_device():
     np.testing.assert_allclose(np.asarray(st_dp.theta1), np.asarray(st_1d.theta1),
                                rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(rep_dp["epoch_elbos"], rep_1d["epoch_elbos"], rtol=1e-8)
+
+
+def test_dp_svigp_fit_model_noise_matches_single_device():
+    """No per-point noise: dp path must use the model's log_noise2 (was a
+    bug: silently substituted noise=1.0)."""
+    from hipgp_tpu.infer import FitConfig, svigp_fit
+    from hipgp_tpu.parallel.dp import dp_svigp_fit
+
+    model, st, x, y, s = setup()
+    cfg = FitConfig(epochs=2, batch_size=32, lr=0.05, maxiter_cg=50)
+    mesh = make_mesh(8)
+    st_dp, _ = dp_svigp_fit(model, st, x, y, None, cfg, mesh, verbose=False)
+    st_1d, _ = svigp_fit(model, st, x, y, None, cfg, verbose=False)
+    np.testing.assert_allclose(np.asarray(st_dp.theta1), np.asarray(st_1d.theta1),
+                               rtol=1e-7, atol=1e-10)
