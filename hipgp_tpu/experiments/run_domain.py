@@ -26,12 +26,16 @@ from .synthetic_data import integrated_obs
 
 
 def load_domain_data(path: str):
-    """x (N,3), e (N,), e_err (N,) from the reference's table format."""
-    tbl = np.loadtxt(path)
-    x = tbl[:, 0:3]
-    e = tbl[:, 3]
-    e_err = tbl[:, 4]
-    return x, e, e_err
+    """(x (N,3), e, e_err, density-or-None) from the reference's
+    space-separated named-column table (`experiment_util_domain.py:20-27`)."""
+    import pandas as pd
+
+    data = pd.read_table(path, sep=r"\s+")
+    x = data[["x", "y", "z"]].values
+    e = data["e"].values
+    e_err = data["e_err"].values
+    density = data["density"].values if "density" in data.columns else None
+    return x, e, e_err, density
 
 
 def synthetic_dust_field(seed: int = 0, nblobs: int = 6):
@@ -68,7 +72,11 @@ def make_synthetic_domain_data(n: int, noise_std: float, seed: int = 0):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data-path", default=None,
-                   help="reference-format table (x y z e e_err); synthetic if absent")
+                   help="reference-format table (named columns x y z e e_err"
+                        " [density]); synthetic if absent")
+    p.add_argument("--dataset", default="small-sim",
+                   choices=["small-sim", "big-sim", "gaia"],
+                   help="sim: synthetic noise added to e; gaia: real errors")
     p.add_argument("--nobs", type=int, default=5000)
     p.add_argument("--noise-std", type=float, default=0.1)
     p.add_argument("--nx", type=int, default=16, help="inducing pts per xy dim")
@@ -89,29 +97,57 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.data_path and os.path.exists(args.data_path):
-        x, a, e_err = load_domain_data(args.data_path)
-        sobs = e_err + 0.1  # reference adds 0.1 to real catalogue errors
-        e_true = a  # no ground truth; evaluate against held-out noisy obs
+        rs = np.random.RandomState(0)
+        x, e, e_err, density = load_domain_data(args.data_path)
+        if args.dataset == "gaia":
+            # real catalogue: measured extinctions with systematic floor
+            sobs = e_err + 0.1
+            a = e
+            e_true = e
+        else:
+            # simulation: synthetic heteroscedastic noise U[s/2, 3s/2]
+            # (`experiment_util_domain.py:86-88`)
+            sobs = rs.rand(len(e)) * args.noise_std + args.noise_std / 2
+            a = e + rs.randn(len(e)) * sobs
+            e_true = e
         rho = None
+        density_all = density
+        # shuffle (the reference shuffles before splitting)
+        perm = rs.permutation(len(x))
+        x, a, e_true, sobs = x[perm], a[perm], e_true[perm], sobs[perm]
+        if density_all is not None:
+            density_all = density_all[perm]
     else:
         print("no --data-path: generating synthetic dust field")
         x, a, e_true, sobs, rho = make_synthetic_domain_data(
             args.nobs + args.ntest, args.noise_std
         )
+        density_all = None
 
     # train/test split
     ntr = len(x) - args.ntest
     xobs, aobs, sobs_tr = x[:ntr], a[:ntr], sobs[:ntr]
     xtest, etest = x[ntr:], (e_true[ntr:] if e_true is not None else None)
-    ftest = rho(xtest) if rho is not None else None
+    if rho is not None:
+        ftest = rho(xtest)
+    elif density_all is not None:
+        ftest = density_all[ntr:]  # shipped latent density at test points
+    else:
+        ftest = None
 
-    grids = [np.linspace(-1, 1, args.nx), np.linspace(-1, 1, args.nx),
-             np.linspace(-1, 1, args.nz)]
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    grids = [np.linspace(lo[0], hi[0], args.nx),
+             np.linspace(lo[1], hi[1], args.nx),
+             np.linspace(lo[2], hi[2], args.nz)]
 
-    # latent-field eval grid on the z=0 slice
-    g = np.linspace(-0.9, 0.9, args.eval_grid)
-    gx, gy = np.meshgrid(g, g, indexing="ij")
-    xgrid = np.column_stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)])
+    # latent-field eval grid on the central-z slice
+    gx_lo, gx_hi = lo[0] * 0.9, hi[0] * 0.9
+    gy_lo, gy_hi = lo[1] * 0.9, hi[1] * 0.9
+    g1 = np.linspace(gx_lo, gx_hi, args.eval_grid)
+    g2 = np.linspace(gy_lo, gy_hi, args.eval_grid)
+    gx, gy = np.meshgrid(g1, g2, indexing="ij")
+    zmid = float((lo[2] + hi[2]) / 2)
+    xgrid = np.column_stack([gx.ravel(), gy.ravel(), np.full(gx.size, zmid)])
     fgrid = rho(xgrid) if rho is not None else None
 
     cfg = FitConfig(
@@ -134,7 +170,7 @@ def main(argv=None):
         xtest=xtest, etest=etest, ftest=ftest,
         xgrid=xgrid, fgrid=fgrid,
         grid_shape=(args.eval_grid, args.eval_grid),
-        grid_extent=(-0.9, 0.9, -0.9, 0.9),
+        grid_extent=(gx_lo, gx_hi, gy_lo, gy_hi),
         output_dir=args.output_dir,
         dtype=jnp.float64 if args.f64 else jnp.float32,
     )
