@@ -35,11 +35,19 @@ def diag_kl_to_standard(m: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (jnp.sum(S) + jnp.sum(m * m) - jnp.sum(jnp.log(S)) - m.shape[0])
 
 
+def _spd_logdet(S: jnp.ndarray) -> jnp.ndarray:
+    """log det of an SPD matrix via Cholesky.
+
+    TPU note: jnp.linalg.slogdet lowers to a blocked LU custom call that
+    exhausts scoped VMEM beyond ~16k x 16k; Cholesky scales."""
+    L = jnp.linalg.cholesky(S)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
 def kl_to_standard(m: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
-    """KL( N(m, S) || N(0, I) ) for dense S."""
+    """KL( N(m, S) || N(0, I) ) for dense SPD S."""
     m = m.reshape(-1)
-    _, lndet = jnp.linalg.slogdet(S)
-    return 0.5 * (jnp.trace(S) + jnp.sum(m * m) - lndet - m.shape[0])
+    return 0.5 * (jnp.trace(S) + jnp.sum(m * m) - _spd_logdet(S) - m.shape[0])
 
 
 def block_kl_to_standard(m: jnp.ndarray, blk_S: jnp.ndarray, chol_jitter: float = 1e-4) -> jnp.ndarray:
@@ -58,14 +66,16 @@ def block_kl_to_standard(m: jnp.ndarray, blk_S: jnp.ndarray, chol_jitter: float 
 
 
 def kl_mvn(m0, S0, m1, S1):
-    """KL( N(m0,S0) || N(m1,S1) ), dense."""
+    """KL( N(m0,S0) || N(m1,S1) ), dense SPD covariances (Cholesky solves)."""
+    from ..ops.solve import spd_solve
+
     k = S0.shape[-1]
-    S1_inv_S0 = jnp.linalg.solve(S1, S0)
+    S1_inv_S0 = spd_solve(S1, S0)
     diff = (m1 - m0).reshape(-1, 1)
-    quad = jnp.sum(diff * jnp.linalg.solve(S1, diff))
-    _, ld1 = jnp.linalg.slogdet(S1)
-    _, ld0 = jnp.linalg.slogdet(S0)
-    return 0.5 * (jnp.trace(S1_inv_S0) + quad - k + ld1 - ld0)
+    quad = jnp.sum(diff * spd_solve(S1, diff))
+    return 0.5 * (
+        jnp.trace(S1_inv_S0) + quad - k + _spd_logdet(S1) - _spd_logdet(S0)
+    )
 
 
 def kl_mvn_chol(m0, cS0, m1, cS1):
