@@ -175,6 +175,11 @@ def svigp_fit(
     hyperparameter traces, and per-epoch wall-clock (the reference's
     time_report.csv content, `ziggy/svi_gp.py:426-440`).
 
+    Deviation from the reference: epochs run as one jitted lax.scan, so
+    there is no per-BATCH host callback (the reference's ``batch_callback``);
+    per-epoch callbacks and opt-in per-batch ELBO logging
+    (``batch_log_interval``) cover the reference's uses.
+
     Checkpoint/resume (absent from the reference, which only ever saves):
     with ``checkpoint_dir`` + ``checkpoint_every=k``, the full training
     state (model state, optimizer state, epoch) is persisted every k epochs;

@@ -26,3 +26,14 @@ class NumpyEncoder(json.JSONEncoder):
         if isinstance(obj, np.ndarray):
             return obj.tolist()
         return super().default(obj)
+
+
+def print_vec(name, vec):
+    """Debug summary of a vector (parity: `ziggy/misc/util.py:13-21`)."""
+    import jax.numpy as jnp
+
+    a = jnp.abs(jnp.asarray(vec))
+    print(
+        f"{name} max = {float(jnp.max(a))}, min = {float(jnp.min(a))}, "
+        f"mean = {float(jnp.mean(a))}"
+    )

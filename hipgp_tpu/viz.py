@@ -125,3 +125,27 @@ def plot_zscore_histogram(zscores, name="model", path=None):
         fig.savefig(path, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def plot_error_boxes(error_df, error_types=None, path=None):
+    """Per-model boxplots of test-error statistics (parity:
+    `ziggy/misc/experiment_util.py` make_error_plots, sans seaborn)."""
+    import pandas as pd
+
+    if error_types is None:
+        error_types = [c for c in ("f mse", "f mae", "f loglike", "f chisq",
+                                   "e mse", "e mae", "e loglike", "e chisq")
+                       if c in error_df.columns and error_df[c].notna().any()]
+    models = list(error_df["model"].unique())
+    fig, axes = plt.subplots(1, len(error_types),
+                             figsize=(4 * len(error_types), 4), squeeze=False)
+    for ax, et in zip(axes[0], error_types):
+        data = [error_df.loc[error_df["model"] == m, et].dropna().values
+                for m in models]
+        ax.boxplot(data, tick_labels=models, showfliers=False)
+        ax.set_title(et)
+        ax.tick_params(axis="x", rotation=30)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig

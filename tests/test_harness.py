@@ -161,3 +161,18 @@ def test_gneiting_integrated_falls_back_to_mc(tmp_path):
     )
     preds = np.load(tmp_path / "gneit-int" / "predictions.npz")
     assert np.all(np.isfinite(preds["emu_test"]))
+
+
+def test_plot_error_boxes(tmp_path):
+    from hipgp_tpu import viz
+
+    rng = np.random.default_rng(0)
+    pdicts = {
+        m: {"ftest": rng.standard_normal(50),
+            "fmu_test": rng.standard_normal(50),
+            "fsig_test": np.full(50, 1.0)}
+        for m in ("a", "b")
+    }
+    df = metrics.error_frame(pdicts)
+    viz.plot_error_boxes(df, path=str(tmp_path / "err.png"))
+    assert (tmp_path / "err.png").exists()
