@@ -319,26 +319,26 @@ def fit_predict_and_save(
         )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
     elif fit_method == "full-batch":
-        import jax
-
-        solve = jax.jit(
-            lambda st: model.batch_solve(
-                st,
-                jnp.asarray(xobs, model.dtype),
-                jnp.asarray(yobs, model.dtype),
-                None if sobs is None else jnp.asarray(sobs, model.dtype),
-                batch_size=batch_solve_bsz,
-                maxiter_cg=maxiter_cg,
-                integrated_obs=integrated,
-                semi_integrated_estimator=cfg.semi_integrated_estimator,
-                semi_integrated_samps=cfg.num_semi_mc_samples,
-                compute_elbo=True,
-                **({"mean_solver": mean_solver}
-                   if getattr(model, "family", None) in ("mean-field", "block")
-                   else {}),
-            )
+        # NOT wrapped in an outer jit: batch_solve is already lax.scan/PCG-
+        # compiled internally, and fusing the whole accumulate+solve+ELBO
+        # graph into one XLA program crashes the TPU worker at large M for
+        # the matrix-free mean solvers (measured: M=128^2, mean_solver='gram'
+        # — eager per-stage compilation runs the same solve in ~47 s).
+        state, elbo = model.batch_solve(
+            state,
+            jnp.asarray(xobs, model.dtype),
+            jnp.asarray(yobs, model.dtype),
+            None if sobs is None else jnp.asarray(sobs, model.dtype),
+            batch_size=batch_solve_bsz,
+            maxiter_cg=maxiter_cg,
+            integrated_obs=integrated,
+            semi_integrated_estimator=cfg.semi_integrated_estimator,
+            semi_integrated_samps=cfg.num_semi_mc_samples,
+            compute_elbo=True,
+            **({"mean_solver": mean_solver}
+               if getattr(model, "family", None) in ("mean-field", "block")
+               else {}),
         )
-        state, elbo = solve(state)
         train_elbo = float(elbo)
         report = {"elbo_trace": [train_elbo], "epoch_elbos": [train_elbo]}
         print(f"batch solve elbo = {train_elbo:.5f}")

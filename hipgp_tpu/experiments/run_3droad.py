@@ -57,12 +57,17 @@ def main(argv=None):
     p.add_argument("--model-class", default="mean-field")
     p.add_argument("--kernel", default="Mat52")
     p.add_argument("--ell", type=float, default=0.1)
+    p.add_argument("--sig2-init", type=float, default=0.1,
+                   help="marginal-variance init; <=0 uses the empirical "
+                        "distance-slope regression (reference default 0.1, "
+                        "`run_3droad_experiment.py:53`)")
     p.add_argument("--noise-std", type=float, default=0.15)
     p.add_argument("--fit-method", default="full-batch",
                    choices=["natgrad", "full-batch"])
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
     p.add_argument("--learn-kernel", action="store_true",
                    help="learn hyperparameters (uses cholesky whitening, as"
                         " the reference requires for this protocol)")
@@ -95,6 +100,7 @@ def main(argv=None):
         xinduce_grids=grids,
         model_class=args.model_class,
         kernel=args.kernel,
+        sig2_init=(args.sig2_init if args.sig2_init > 0 else "empirical"),
         ell_init=args.ell,
         noise2_init=args.noise_std**2,
         # learn-kernel requires the exact cholesky whitening
@@ -103,6 +109,7 @@ def main(argv=None):
         fit_method=args.fit_method,
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
+        mean_solver=args.mean_solver,
         batch_solve_bsz=args.batch_size,
         xvalid=x[va], fvalid=(ftrue[va] if ftrue is not None else y[va]),
         xtest=x[te], ftest=(ftrue[te] if ftrue is not None else y[te]),

@@ -52,7 +52,7 @@ def main(argv=None):
                    default=None,
                    help="grid-search the lengthscale by batch-solve ELBO "
                         "before fitting (the reference's ell annealing)")
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg"])
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
     p.add_argument("--output-dir", default="./output-synthetic")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)

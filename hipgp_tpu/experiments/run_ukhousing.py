@@ -93,11 +93,16 @@ def main(argv=None):
     p.add_argument("--model-class", default="mean-field")
     p.add_argument("--kernel", default="Mat52")
     p.add_argument("--ell", type=float, default=0.1)
+    p.add_argument("--sig2-init", type=float, default=-1.0,
+                   help="marginal-variance init; <=0 uses the empirical "
+                        "distance-slope regression (reference default, "
+                        "`run_ukhousing_experiment.py:49`)")
     p.add_argument("--fit-method", default="full-batch",
                    choices=["natgrad", "full-batch"])
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
     p.add_argument("--output-dir", default="./output-ukhousing")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -146,10 +151,12 @@ def main(argv=None):
         xinduce_grids=grids,
         model_class=args.model_class,
         kernel=args.kernel,
+        sig2_init=(args.sig2_init if args.sig2_init > 0 else "empirical"),
         ell_init=args.ell,
         fit_method=args.fit_method,
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
+        mean_solver=args.mean_solver,
         batch_solve_bsz=args.batch_size,
         xtest=xtest, ftest=ftest,
         output_dir=args.output_dir,

@@ -31,7 +31,16 @@ import numpy as np
 from flax import struct
 
 from ..kernels import DoublyDiagInterpolator, k_semi_mc, k_semi_sqexp
-from ..ops import make_spectrum, matmul_by_R, spd_inverse, spd_solve, whiten
+from ..ops import (
+    make_spectrum,
+    matmul_by_Cinv,
+    matmul_by_K,
+    matmul_by_R,
+    matmul_by_RT,
+    spd_inverse,
+    spd_solve,
+    whiten,
+)
 from ..ops.bttb import BTTBSpectrum, embedded_dims
 from ..utils import blocks as blk
 from ..utils import stats
@@ -578,6 +587,25 @@ class HIPGP:
             theta1 = b
         return state.replace(theta1=theta1, theta2=theta2)
 
+    def _state_from_lam_mhat(self, state, lam, mhat):
+        """Assemble the optimal state from the accumulated family-shaped
+        Lambda (WITHOUT prior identity) and the already-solved optimal mean
+        mhat — shared tail of the matrix-free mean-solver paths."""
+        lam_with_I = lam + self.get_lam(
+            jnp.zeros((1,), self.dtype),
+            jnp.zeros((1, self.Mprime), self.dtype),
+            add_identity=True,
+        )
+        if self.parameterization == "standard":
+            return state.replace(theta1=mhat, theta2=self._S_from_lam(lam_with_I))
+        theta2 = -0.5 * lam_with_I
+        if self.family == "mean-field":
+            return state.replace(theta1=mhat * lam_with_I, theta2=theta2)
+        return state.replace(
+            theta1=self.block_diag_multiply(lam_with_I, mhat[None, :])[0],
+            theta2=theta2,
+        )
+
     def batch_solve(
         self,
         state: HIPGPState,
@@ -603,11 +631,26 @@ class HIPGP:
         ``(new_state, elbo)`` when ``compute_elbo``).
 
         ``mean_solver``: the mean-field/block optimal *mean* solves the FULL
-        system (I + sum_n kn kn^T / s_n^2) m = b.  'dense' materializes that
-        M' x M' matrix (the reference's behavior — caps M' around ~16k on one
-        chip); 'cg' keeps the stacked kn (N x M') in HBM and solves by CG
-        with matvecs m -> m + kn^T (ivar * (kn m)) — O(N M') memory, scaling
-        the closed-form solve to M' ~ 10^5.
+        system (I + sum_n kn kn^T / s_n^2) m = b.  Three paths:
+
+        * 'dense' materializes that M' x M' matrix (the reference's behavior
+          — caps M' around ~16k on one chip);
+        * 'cg' keeps the stacked kn (N x M') in HBM and solves by CG with
+          matvecs m -> m + kn^T (ivar * (kn m)) — O(N M') memory, for large
+          M' at moderate N;
+        * 'gram' accumulates the ORIGINAL-space data Gram
+          A = sum_n Knm_n Knm_n^T / s_n^2 (M x M) and uses the exact
+          Woodbury collapse  m = R (K + A)^{-1} b_m  with
+          b_m = sum_n y_n Knm_n / s_n^2 (derivation: Lambda = I + W A W^T
+          with W = R K^{-1} and W^T W = K^{-1}, so
+          Lambda^{-1} W b_m = R (K + A)^{-1} b_m) — O(M^2) memory
+          INDEPENDENT of N and M', one PCG solve on the SPD system K + A
+          with the circulant preconditioner.  This also sidesteps the
+          truncated-PCG kn approximation in the mean (kn enters only
+          Lambda/S): the mean is the exact optimum of the family.
+
+        Crossover on one 16 GB chip: 'dense' to M' ~ 16k, 'gram' to
+        M ~ 40k (A is M^2), 'cg' when M is huge but N x M' fits.
         """
         N = xobs.shape[0]
         y = yobs.reshape(-1)
@@ -647,10 +690,11 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg)
             return kn, Knn_diag
 
-        if mean_solver not in ("dense", "cg"):
+        if mean_solver not in ("dense", "cg", "gram"):
             raise ValueError(f"mean_solver={mean_solver!r}")
         need_big = self.family != "full-rank" and mean_solver == "dense"
         collect_kn = self.family != "full-rank" and mean_solver == "cg"
+        collect_gram = self.family != "full-rank" and mean_solver == "gram"
 
         def ivar_of(wb, nsb):
             if nsb is not None:
@@ -658,11 +702,12 @@ class HIPGP:
             return wb * jnp.exp(-state.log_noise2)
 
         def accum(carry, inp):
-            lam_acc, b_acc, big_acc = carry
+            lam_acc, b_acc, big_acc, A_acc, bm_acc = carry
             xb, yb, wb, kb, nsb = inp
             ivar = ivar_of(wb, nsb)
-            if collect_kn:
-                # keep kn: the dense Gram of Lambda is never materialized
+            if collect_kn or collect_gram:
+                # keep kn / the M-space data Gram: the dense M' x M' Lambda
+                # is never materialized
                 Knm, _ = self.make_grams(
                     state, xb, integrated_obs, semi_integrated_estimator,
                     semi_integrated_samps, kb,
@@ -670,7 +715,12 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg, spec=spec)
                 lam = self.get_lam(ivar, kn, bscale=1.0, add_identity=False)
                 b = kn.T @ (ivar * yb.reshape(-1))
-                out = (kn, ivar)
+                if collect_gram:
+                    A_acc = A_acc + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar)
+                    bm_acc = bm_acc + Knm.T @ (ivar * yb.reshape(-1))
+                    out = None
+                else:
+                    out = (kn, ivar)
             else:
                 lam, b, big = self.accumulate_lam_b(
                     state, xb, yb, ivar,
@@ -686,7 +736,7 @@ class HIPGP:
                 out = None
             lam_acc = lam_acc + lam
             b_acc = b_acc + b
-            return (lam_acc, b_acc, big_acc), out
+            return (lam_acc, b_acc, big_acc, A_acc, bm_acc), out
 
         lam0 = jax.tree.map(
             jnp.zeros_like,
@@ -698,13 +748,20 @@ class HIPGP:
             if need_big
             else jnp.zeros((1, 1), self.dtype)
         )
+        A0 = (
+            jnp.zeros((self.M, self.M), self.dtype)
+            if collect_gram
+            else jnp.zeros((1, 1), self.dtype)
+        )
+        bm0 = jnp.zeros((self.M if collect_gram else 1,), self.dtype)
         if nsp is None:
-            (lam, b, big), kn_stack = jax.lax.scan(
-                lambda c, i: accum(c, (*i, None)), (lam0, b0, big0), (xp, yp, w, keys)
+            (lam, b, big, A, bm), kn_stack = jax.lax.scan(
+                lambda c, i: accum(c, (*i, None)),
+                (lam0, b0, big0, A0, bm0), (xp, yp, w, keys),
             )
         else:
-            (lam, b, big), kn_stack = jax.lax.scan(
-                accum, (lam0, b0, big0), (xp, yp, w, keys, nsp)
+            (lam, b, big, A, bm), kn_stack = jax.lax.scan(
+                accum, (lam0, b0, big0, A0, bm0), (xp, yp, w, keys, nsp)
             )
 
         if collect_kn:
@@ -722,23 +779,27 @@ class HIPGP:
                 big_mv_flat, b[None, :], maxiter=mean_solver_maxiter,
                 tol=mean_solver_tol,
             )[0]
-            lam_with_I = lam + self.get_lam(
-                jnp.zeros((1,), self.dtype),
-                jnp.zeros((1, self.Mprime), self.dtype),
-                add_identity=True,
-            )
-            theta2 = -0.5 * lam_with_I
-            if self.parameterization == "standard":
-                new_state = state.replace(
-                    theta1=mhat, theta2=self._S_from_lam(lam_with_I)
-                )
-            elif self.family == "mean-field":
-                new_state = state.replace(theta1=mhat * lam_with_I, theta2=theta2)
-            else:  # block
-                new_state = state.replace(
-                    theta1=self.block_diag_multiply(lam_with_I, mhat[None, :])[0],
-                    theta2=theta2,
-                )
+            new_state = self._state_from_lam_mhat(state, lam, mhat)
+        elif collect_gram:
+            from ..ops import pcg as _pcg
+
+            if self.whitened_type == "cholesky":
+                params = self.kernel_params(state)
+                Kmm = self.kernel(self.xinduce, self.xinduce, params)
+                Kmm = Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype)
+                z = spd_solve(Kmm + A, bm)
+                mhat = jnp.linalg.cholesky(Kmm).T @ z
+            else:
+                def kpa_mv(v):
+                    return matmul_by_K(spec, v) + v @ A
+
+                z = _pcg(
+                    kpa_mv, bm[None, :],
+                    precond=lambda v: matmul_by_Cinv(spec, v),
+                    maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+                )[0]
+                mhat = matmul_by_RT(spec, z)
+            new_state = self._state_from_lam_mhat(state, lam, mhat)
         else:
             new_state = self.finalize_from_lam_b(
                 state, lam, b, big if need_big else None

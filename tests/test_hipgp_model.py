@@ -319,6 +319,39 @@ def test_batch_solve_cg_mean_solver_matches_dense(family):
     np.testing.assert_allclose(np.asarray(cg.theta1), np.asarray(dense.theta1), rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.parametrize("family", ["mean-field", "block"])
+@pytest.mark.parametrize("whitened", ["cholesky", "ziggy"])
+def test_batch_solve_gram_mean_solver_matches_dense(family, whitened):
+    """mean_solver='gram' (O(M^2) Woodbury collapse m = R (K+A)^{-1} b_m)
+    matches the dense M'xM' solve."""
+    x, y, s, _ = make_data()
+    kw = {"block_sizes": (4, 4)} if family == "block" else {}
+    if family == "block" and whitened == "ziggy":
+        kw["m"] = 9  # embedded dim 2m-2 = 16 divisible by the block size
+    model = make_model(family, whitened, **kw)
+    st = model.init_state()
+    dense = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=300)
+    gram = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=300,
+                             mean_solver="gram", mean_solver_maxiter=800,
+                             mean_solver_tol=1e-14)
+    np.testing.assert_allclose(np.asarray(gram.theta2), np.asarray(dense.theta2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gram.theta1), np.asarray(dense.theta1), rtol=1e-4, atol=1e-7)
+
+
+def test_batch_solve_gram_mean_solver_elbo_finite():
+    """compute_elbo with the gram mean solver (second-sweep path) matches
+    the dense path's ELBO."""
+    x, y, s, _ = make_data()
+    model = make_model("mean-field", "cholesky")
+    st = model.init_state()
+    _, e_dense = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200,
+                                   compute_elbo=True)
+    _, e_gram = model.batch_solve(st, x, y, s, batch_size=16, maxiter_cg=200,
+                                  mean_solver="gram", mean_solver_maxiter=800,
+                                  mean_solver_tol=1e-14, compute_elbo=True)
+    np.testing.assert_allclose(float(e_gram), float(e_dense), rtol=1e-6)
+
+
 def test_fit_resume_roundtrip(tmp_path):
     """Checkpoint every epoch, interrupt, resume: final state identical to
     an uninterrupted run."""
