@@ -11,7 +11,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["toeplitz", "sym_toeplitz", "toeplitz_matmul", "sym_toeplitz_matmul"]
+__all__ = [
+    "toeplitz",
+    "sym_toeplitz",
+    "toeplitz_getitem",
+    "toeplitz_matmul",
+    "sym_toeplitz_matmul",
+]
+
+
+def toeplitz_getitem(c: jnp.ndarray, r: jnp.ndarray, i, j) -> jnp.ndarray:
+    """T[i, j] of the (c, r) Toeplitz matrix without materializing it
+    (parity: `ziggy/misc/gpt_toeplitz.py:65-93`).  i, j may be arrays."""
+    i = jnp.asarray(i)
+    j = jnp.asarray(j)
+    d = i - j
+    return jnp.where(d >= 0, c[jnp.abs(d)], r[jnp.abs(d)])
 
 
 def toeplitz(c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:

@@ -162,3 +162,36 @@ def test_1d_grid_model_supported(rng):
     st = model.batch_solve(model.init_state(), x, y, s, maxiter_cg=100)
     mu, sig = model.predict(st, x, maxiter_cg=100)
     assert float(jnp.sqrt(jnp.mean((mu - y) ** 2))) < 0.2
+
+
+def test_toeplitz_getitem_matches_dense(rng):
+    from hipgp_tpu.ops import toeplitz, toeplitz_getitem
+
+    c = jnp.asarray(rng.standard_normal(7))
+    r = jnp.asarray(rng.standard_normal(7)).at[0].set(c[0])
+    T = np.asarray(toeplitz(c, r))
+    ii, jj = np.meshgrid(np.arange(7), np.arange(7), indexing="ij")
+    got = np.asarray(toeplitz_getitem(c, r, ii.ravel(), jj.ravel())).reshape(7, 7)
+    np.testing.assert_allclose(got, T)
+
+
+def test_fft_path_hyperparam_gradcheck(rng):
+    """Hyperparameter gradients through the packed-FFT transform path
+    (1-D edim > MATMUL_DFT_MAX_LEN) match finite differences."""
+    from hipgp_tpu.ops import whiten
+    from hipgp_tpu.kernels import Matern
+
+    m = 300  # edim 598 -> pow2 1024: forces the XLA-FFT (complex-packed) path
+    grids = [jnp.linspace(0.0, 1.0, m)]
+    b = jnp.asarray(rng.standard_normal((3, m)))
+
+    def loss(log_ell):
+        kfun = lambda x, y: Matern(1.5)(x, y, (1.0, jnp.exp(log_ell)))
+        spec = make_spectrum(grids, kfun, jitter=1e-3)
+        return jnp.sum(whiten(spec, b, maxiter=400, tol=1e-12) ** 2)
+
+    le = jnp.log(0.05)
+    g = jax.grad(loss)(le)
+    eps = 1e-6
+    fd = (loss(le + eps) - loss(le - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
