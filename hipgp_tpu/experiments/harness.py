@@ -123,7 +123,10 @@ def evaluate_and_save(
     hyper_traces: Optional[Dict] = None,
     data_noise_std: Optional[float] = None,
     train_elbo: Optional[float] = None,
-    predict_batch_size: int = 1000,
+    # larger than the reference's 100/10-point chunks (`svi_gp.py:78-97`):
+    # each chunk is one device dispatch (~45 ms through the TPU tunnel), so
+    # big-test-set evaluation is dispatch-bound below ~4k points per chunk
+    predict_batch_size: int = 4096,
     make_plots: bool = True,
     grid_shape=None,
     grid_extent=None,
@@ -319,26 +322,33 @@ def fit_predict_and_save(
         )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
     elif fit_method == "full-batch":
-        # NOT wrapped in an outer jit: batch_solve is already lax.scan/PCG-
-        # compiled internally, and fusing the whole accumulate+solve+ELBO
-        # graph into one XLA program crashes the TPU worker at large M for
-        # the matrix-free mean solvers (measured: M=128^2, mean_solver='gram'
-        # — eager per-stage compilation runs the same solve in ~47 s).
-        state, elbo = model.batch_solve(
-            state,
-            jnp.asarray(xobs, model.dtype),
-            jnp.asarray(yobs, model.dtype),
-            None if sobs is None else jnp.asarray(sobs, model.dtype),
-            batch_size=batch_solve_bsz,
-            maxiter_cg=maxiter_cg,
-            integrated_obs=integrated,
-            semi_integrated_estimator=cfg.semi_integrated_estimator,
-            semi_integrated_samps=cfg.num_semi_mc_samples,
-            compute_elbo=True,
-            **({"mean_solver": mean_solver}
-               if getattr(model, "family", None) in ("mean-field", "block")
-               else {}),
-        )
+        import jax
+
+        def solve_fn(st):
+            return model.batch_solve(
+                st,
+                jnp.asarray(xobs, model.dtype),
+                jnp.asarray(yobs, model.dtype),
+                None if sobs is None else jnp.asarray(sobs, model.dtype),
+                batch_size=batch_solve_bsz,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated,
+                semi_integrated_estimator=cfg.semi_integrated_estimator,
+                semi_integrated_samps=cfg.num_semi_mc_samples,
+                compute_elbo=True,
+                **({"mean_solver": mean_solver}
+                   if getattr(model, "family", None) in ("mean-field", "block")
+                   else {}),
+            )
+
+        # The 'gram' mean solver runs EAGER (per-stage compilation):
+        # fusing its whole accumulate+solve+ELBO graph into one XLA
+        # program crashes the TPU worker at large M (measured M=128^2);
+        # batch_solve is lax.scan/PCG-compiled internally either way.
+        if mean_solver == "gram":
+            state, elbo = solve_fn(state)
+        else:
+            state, elbo = jax.jit(solve_fn)(state)
         train_elbo = float(elbo)
         report = {"elbo_trace": [train_elbo], "epoch_elbos": [train_elbo]}
         print(f"batch solve elbo = {train_elbo:.5f}")
