@@ -245,12 +245,21 @@ def fit_predict_and_save(
     xgrid=None, egrid=None, fgrid=None,
     grid_shape=None, grid_extent=None,
     output_dir: str = "./model-output/",
-    eval_epochs: bool = False,
+    eval_epochs: int = 0,
+    eval_epoch_plots: bool = False,
     dtype=jnp.float32,
 ):
     """Fit + evaluate one model, persisting all artifacts under
     ``output_dir/name`` — the single entry point every experiment driver
     calls (reference `experiment_util.py:13-233`).
+
+    ``eval_epochs=k`` (k > 0) runs the full evaluation (checkpoint,
+    predictions, metrics CSVs) every k-th epoch into
+    ``odir/epoch_output/epoch_N/`` — the reference's
+    ``standard_epoch_callback`` behavior (`experiment_util.py:744-972`) —
+    producing per-epoch RMSE/coverage trajectories; per-epoch wall-clock
+    lands as one row per epoch in ``time_report.csv``
+    (`ziggy/svi_gp.py:426-440`).
 
     Returns (model, state, report).
     """
@@ -313,12 +322,42 @@ def fit_predict_and_save(
         )
 
     report: Dict = {}
+    epoch_eval_rows = []
+    epoch_callback = None
+    if eval_epochs and fit_method == "natgrad":
+        every = int(eval_epochs)
+
+        def epoch_callback(epoch, model_, state_, trace):
+            if (epoch + 1) % every and epoch != cfg.epochs - 1:
+                return
+            edir = os.path.join(odir, "epoch_output", f"epoch_{epoch}")
+            t0 = time.time()
+            _, etimes = evaluate_and_save(
+                edir, model_, state_,
+                xtest=xtest, ftest=ftest, etest=etest,
+                xvalid=xvalid, fvalid=fvalid, evalid=evalid,
+                xgrid=xgrid, fgrid=fgrid, egrid=egrid,
+                do_integrated_predictions=integrated,
+                predict_maxiter_cg=cfg.predict_maxiter_cg,
+                predict_ksemi_method=cfg.predict_ksemi_method,
+                predict_ksemi_samps=cfg.predict_ksemi_samps,
+                elbo_trace=trace,
+                data_noise_std=None if sobs is None else float(np.mean(sobs)),
+                grid_shape=grid_shape,
+                grid_extent=grid_extent,
+                make_plots=eval_epoch_plots,
+            )
+            epoch_eval_rows.append(
+                {"epoch": epoch, "eval_total": time.time() - t0, **etimes}
+            )
+
     t_start = time.time()
     if fit_method == "natgrad":
         state, report = svigp_fit(
             model, state, xobs, yobs, sobs, cfg,
             verbose=True,
             theta2_warmstart=theta2_warmstart,
+            epoch_callback=epoch_callback,
         )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
     elif fit_method == "full-batch":
@@ -378,7 +417,20 @@ def fit_predict_and_save(
     )
 
     trow = {"fitting": fitting_time, **eval_times}
-    pd.DataFrame([trow]).to_csv(os.path.join(odir, "time_report.csv"))
+    # one row per epoch (fit + eval wall-clock, reference time_report.csv
+    # schema `ziggy/svi_gp.py:426-440`) followed by the run-total row
+    rows = []
+    epoch_times = report.get("epoch_times") or []
+    eval_by_epoch = {r["epoch"]: r for r in epoch_eval_rows}
+    for i, ft in enumerate(epoch_times):
+        row = {"epoch": i, "fitting": ft}
+        row.update(
+            {k: v for k, v in eval_by_epoch.get(i, {}).items() if k != "epoch"}
+        )
+        rows.append(row)
+    rows.append({"epoch": "total", **trow})
+    pd.DataFrame(rows).to_csv(os.path.join(odir, "time_report.csv"), index=False)
     report["time_report"] = trow
+    report["epoch_eval_rows"] = epoch_eval_rows
     report["pdict"] = pdict
     return model, state, report

@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--bsz", type=int, default=8)
     p.add_argument("--maxiter-cg", type=int, default=20)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--sig2", type=float, default=0.1)
+    p.add_argument("--ell-spacings", type=float, default=1.0,
+                   help="lengthscale in units of grid spacings (reference: 1)")
     p.add_argument("--output-dir", default="./output-pcg-vs-cholesky")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
@@ -64,8 +67,11 @@ def main(argv=None):
         kern = kernel_from_name(kname)
         rows = []
         for M in args.sizes:
-            ell = 50.0 / M  # ~50 grid spacings: fixed conditioning across M
-            kfun = lambda a, b: kern(a, b, (1.0, ell))
+            # reference protocol: sig2=0.1, ell = one grid spacing
+            # (`run_pcg_vs_cholesky.py:89` in the reference); --ell-spacings
+            # scales it for harder-conditioning variants
+            ell = args.ell_spacings / M
+            kfun = lambda a, b: kern(a, b, (args.sig2, ell))
             grid = jnp.linspace(0.0, 1.0, M, dtype=dtype)
             v = jnp.asarray(rng.standard_normal((args.bsz, M)), dtype)
 

@@ -195,20 +195,12 @@ def svigp_fit(
         config.batch_size,
     )
 
-    if theta2_warmstart and hasattr(model, "get_lam"):
-        # One Lambda-only sweep sets theta2 ~ -(Lambda+I)/2 before SVI.
-        # The raw natural-gradient iteration overshoots badly while theta2
-        # (the metric) is still at its init — the reference suffers the same
-        # transient (ELBO dives orders of magnitude before recovering); a
-        # warm metric removes it at the cost of one data pass.
-        state = _theta2_warmstart(model, state, xb, yb, sb, w, config)
-
     opt = make_optimizer(state, config)
-    opt_state = opt.init(state)
     epoch_step = make_train_step(model, config, opt)
     key = jax.random.PRNGKey(config.seed)
 
     start_epoch = 0
+    restored = False
     if resume and checkpoint_dir is not None:
         import os
 
@@ -216,12 +208,23 @@ def svigp_fit(
 
         if os.path.exists(os.path.join(checkpoint_dir, "state.npz")):
             state, restored_opt, start_epoch = _ckpt.restore_checkpoint(
-                checkpoint_dir, state, opt_state
+                checkpoint_dir, state, opt.init(state)
             )
-            if restored_opt is not None:
-                opt_state = restored_opt
+            restored = True
+            opt_state = restored_opt if restored_opt is not None else opt.init(state)
             if verbose:
                 print(f"resumed from {checkpoint_dir} at epoch {start_epoch}")
+
+    if theta2_warmstart and not restored and hasattr(model, "get_lam"):
+        # One Lambda-only sweep sets theta2 ~ -(Lambda+I)/2 before SVI.
+        # The raw natural-gradient iteration overshoots badly while theta2
+        # (the metric) is still at its init — the reference suffers the same
+        # transient (ELBO dives orders of magnitude before recovering); a
+        # warm metric removes it at the cost of one data pass.  Skipped on
+        # resume: the restored theta2 would immediately overwrite it.
+        state = _theta2_warmstart(model, state, xb, yb, sb, w, config)
+    if not restored:
+        opt_state = opt.init(state)
 
     # pre-shuffle support: one permutation per epoch over the raw rows
     # (the reference's DataLoader shuffle; its experiments use shuffle=False)
@@ -349,8 +352,7 @@ def ell_fit(
     y = jnp.asarray(yobs, model.dtype)
     s = jnp.asarray(sobs, model.dtype) if sobs is not None else None
 
-    @jax.jit
-    def solve_at(log_ell):
+    def solve_at_eager(log_ell):
         st = state.replace(log_ell=jnp.asarray(log_ell, model.dtype))
         return model.batch_solve(
             st, x, y, s,
@@ -362,6 +364,14 @@ def ell_fit(
             compute_elbo=True,
             **solve_kwargs,
         )
+
+    # The 'gram' mean solver runs eagerly (per-stage compilation): one fused
+    # accumulate+solve+ELBO XLA program crashes the TPU worker at large M
+    # (see models/hipgp.py batch_solve and experiments/harness.py)
+    if solve_kwargs.get("mean_solver") == "gram":
+        solve_at = solve_at_eager
+    else:
+        solve_at = jax.jit(solve_at_eager)
 
     ells = np.arange(ell_min, ell_max + ell_step_size, ell_step_size)
     best = (-np.inf, None, None)

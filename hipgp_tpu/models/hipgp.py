@@ -486,10 +486,8 @@ class HIPGP:
             an = self.batch_an(st, y, noise_std, kn, Knn_diag, qm, qS)
             if weights is not None:
                 mean_an = jnp.sum(an * weights) / jnp.maximum(jnp.sum(weights), 1.0)
-                bsz_eff = jnp.sum(weights)
             else:
                 mean_an = jnp.mean(an)
-                bsz_eff = y.shape[0]
             elbo = mean_an - self.kl_to_prior(qm, qS) / self.N
             return elbo, (kn, qm)
 

@@ -201,7 +201,7 @@ def make_spectrum(
     """Column + circulant embedding + clamped rFFT spectrum in one call.
 
     The embedding length per dim is padded from the minimal 2m-2 up to the
-    next {2,3,5,7}-smooth length (see :func:`next_fast_len`) by evaluating
+    next {2,3,5}-smooth length (see :func:`next_fast_len`) by evaluating
     the stationary kernel at *wrapped lags*: the circulant defined by
     c_j = k(tau_j) with tau_j[d] = min(j_d, L_d - j_d) * h_d has the exact
     BTTB Gram as its top-left M x M block for any L_d >= 2 m_d - 2, so
@@ -278,11 +278,6 @@ MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
 # rank-3 dots poorly.  Kept as an opt-in alternative.
 USE_PALLAS_TRANSFORM = False
 
-
-def _pallas_max_len() -> int:
-    from .pallas_transform import PALLAS_MAX_LEN
-
-    return PALLAS_MAX_LEN
 
 _BASIS_CACHE: dict = {}
 
@@ -367,12 +362,12 @@ def _apply_spectrum_matmul(
         pad = [(0, 0)] * len(batch) + [(0, e - d) for d, e in zip(dims, edims)]
         x = jnp.pad(x, pad)
 
-    if (
-        USE_PALLAS_TRANSFORM
-        and nd == 2
-        and jax.default_backend() == "tpu"
-        and max(edims) <= _pallas_max_len()
-    ):
+    use_pallas = False
+    if USE_PALLAS_TRANSFORM and nd == 2 and jax.default_backend() == "tpu":
+        from .pallas_transform import PALLAS_MAX_LEN
+
+        use_pallas = max(edims) <= PALLAS_MAX_LEN
+    if use_pallas:
         # fused VMEM-resident kernel: one HBM read + one write per sample
         from .pallas_transform import circulant_apply_2d
 

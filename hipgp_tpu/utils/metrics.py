@@ -139,12 +139,14 @@ def coverage_table(
 ) -> pd.DataFrame:
     """Fraction of |z| < s per model vs the standard-normal reference
     (`experiment_util.py:696-737`)."""
-    zstd = [0.382924, 0.682694, 0.954997, 0.997300]
+    from math import erf, sqrt
+
     table = {
         name: [float(np.nanmean(np.abs(z) < s)) for s in sigs]
         for name, z in zscores.items()
     }
-    table["N(0,1)"] = list(zstd[: len(sigs)])
+    # P(|Z| < s) for Z ~ N(0,1), computed for the sigmas actually requested
+    table["N(0,1)"] = [erf(s / sqrt(2.0)) for s in sigs]
     df = pd.DataFrame(table, index=list(sigs))
     df.index.name = "sigma"
     return df

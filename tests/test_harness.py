@@ -176,3 +176,58 @@ def test_plot_error_boxes(tmp_path):
     df = metrics.error_frame(pdicts)
     viz.plot_error_boxes(df, path=str(tmp_path / "err.png"))
     assert (tmp_path / "err.png").exists()
+
+
+def test_eval_epochs_trajectories(tmp_path):
+    """eval_epochs=k writes per-epoch metrics (reference
+    standard_epoch_callback, `experiment_util.py:744-972`) and per-epoch
+    rows in time_report.csv."""
+    d = small_data()
+    cfg = FitConfig(epochs=4, batch_size=100, lr=0.02, maxiter_cg=30)
+    _, _, report = fit_predict_and_save(
+        name="mf-epochs",
+        xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+        xinduce_grids=[np.linspace(-1, 1, 8)] * 2,
+        model_class="mean-field",
+        kernel="SqExp",
+        ell_init=0.3,
+        fit_config=cfg,
+        maxiter_cg=30,
+        xtest=d["xtest"], ftest=d["ftest"],
+        output_dir=str(tmp_path),
+        eval_epochs=2,
+        dtype=jnp.float64,
+    )
+    odir = tmp_path / "mf-epochs"
+    # epochs 1 and 3 (every 2nd) evaluated; final epoch 3 included
+    eps = sorted(os.listdir(odir / "epoch_output"))
+    assert eps == ["epoch_1", "epoch_3"]
+    for ep in eps:
+        assert (odir / "epoch_output" / ep / "errordf-summary.csv").exists()
+        assert (odir / "epoch_output" / ep / "coverage_table.csv").exists()
+        assert (odir / "epoch_output" / ep / "state.npz").exists()
+    # RMSE trajectory is readable and improves (or at least exists) per epoch
+    rmses = [
+        float(pd.read_csv(odir / "epoch_output" / ep / "errordf-summary.csv",
+                          index_col=0)["f mse"]["mean"])
+        for ep in eps
+    ]
+    assert all(np.isfinite(rmses))
+    # time_report.csv: one row per epoch + total row
+    tdf = pd.read_csv(odir / "time_report.csv")
+    assert len(tdf) == cfg.epochs + 1
+    assert str(tdf["epoch"].iloc[-1]) == "total"
+    assert report["epoch_eval_rows"][0]["epoch"] == 1
+
+
+def test_coverage_table_custom_sigs():
+    """The N(0,1) column must follow the requested sigmas (erf), not a
+    hardcoded default list."""
+    from math import erf, sqrt
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(20_000)
+    cov = metrics.coverage_table({"m": z}, sigs=(0.25, 1.5))
+    expect = [erf(0.25 / sqrt(2)), erf(1.5 / sqrt(2))]
+    np.testing.assert_allclose(cov["N(0,1)"].values, expect, rtol=1e-12)
+    np.testing.assert_allclose(cov["m"].values, expect, atol=0.02)
