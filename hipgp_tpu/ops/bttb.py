@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +57,17 @@ def expanded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
     return tuple(2 * d - 2 if d > 1 else d for d in dims)
 
 
-def next_fast_len(n: int) -> int:
-    """Smallest L >= n whose prime factors are all in {2, 3, 5}.
+def _is_smooth(n: int) -> bool:
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def next_fast_len(n: int, multiple_of: int = 1) -> int:
+    """Smallest L >= n whose prime factors are all in {2, 3, 5} (and which
+    is a multiple of ``multiple_of``, itself required {2,3,5}-smooth — used
+    to make embedded axes divisible by a shard count, see `parallel`).
 
     TPU-specific constraints, measured on v5e:
     * any non-smooth length lowers to a dense L x L DFT matmul — O(L^2)
@@ -70,6 +79,16 @@ def next_fast_len(n: int) -> int:
     on the padded smooth length instead (the circulant embedding is valid
     for ANY L >= 2m-2; see :func:`make_spectrum`).
     """
+    if multiple_of > 1:
+        if not _is_smooth(multiple_of):
+            raise ValueError(
+                f"multiple_of={multiple_of} must be {{2,3,5}}-smooth (a "
+                "non-smooth shard count would force a non-smooth FFT length)"
+            )
+        k = max(1, -(-n // multiple_of))
+        while not _is_smooth(k):
+            k += 1
+        return k * multiple_of
     if n <= 1:
         return 1
     best = 1 << (n - 1).bit_length()  # next power of two always works
@@ -91,7 +110,25 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def embedded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
+def _next_pow2_mult(n: int, multiple_of: int) -> int:
+    """Smallest L = r * 2^b >= n with multiple_of | L, where r is the odd
+    part of multiple_of — 'power of two except for the shard factor'."""
+    if multiple_of <= 1:
+        return _next_pow2(n)
+    if not _is_smooth(multiple_of):
+        raise ValueError(f"multiple_of={multiple_of} must be {{2,3,5}}-smooth")
+    r = multiple_of
+    while r % 2 == 0:
+        r //= 2
+    L = r * _next_pow2(-(-n // r))
+    while L % multiple_of:
+        L *= 2
+    return L
+
+
+def embedded_dims(
+    dims: Sequence[int], multiple_of: Optional[Sequence[int]] = None
+) -> Tuple[int, ...]:
     """Actual (transform-friendly) embedding size per grid dim.
 
     When every axis fits the MXU matmul transform (<= MATMUL_DFT_MAX_LEN),
@@ -101,12 +138,21 @@ def embedded_dims(dims: Sequence[int]) -> Tuple[int, ...]:
     radices on TPU (measured: L=10^4 = 2^4*5^4 runs ~100x slower than L=2^14
     or even L=2*10^4), so in that case EVERY axis pads to the next power of
     two (<= 2x memory per axis, reliably fast).
+
+    ``multiple_of`` (per-axis) additionally rounds each length up to a
+    multiple — the grid-sharded solves need the leading and minor embedded
+    axes divisible by the shard count (`parallel/fft_sharded.py`).
     """
     exp = expanded_dims(dims)
-    smooth = [next_fast_len(e) for e in exp]
+    mult = tuple(multiple_of) if multiple_of is not None else (1,) * len(exp)
+    if len(mult) != len(exp):
+        raise ValueError("multiple_of must have one entry per grid dim")
+    smooth = [next_fast_len(e, m) for e, m in zip(exp, mult)]
     if all(s <= MATMUL_DFT_MAX_LEN for s in smooth):
         return tuple(smooth)
-    return tuple(_next_pow2(e) if e > 1 else e for e in exp)
+    return tuple(
+        _next_pow2_mult(e, m) if e > 1 else e for e, m in zip(exp, mult)
+    )
 
 
 @struct.dataclass
@@ -197,6 +243,7 @@ def make_spectrum(
     jitter: float = 1e-3,
     eig_floor: float = DEFAULT_EIG_FLOOR,
     pad_to_fast: bool = True,
+    multiple_of: Optional[Sequence[int]] = None,
 ) -> BTTBSpectrum:
     """Column + circulant embedding + clamped rFFT spectrum in one call.
 
@@ -213,11 +260,13 @@ def make_spectrum(
     hyperparameter learning without a custom backward pass.
     """
     if not pad_to_fast:
+        if multiple_of is not None:
+            raise ValueError("multiple_of requires pad_to_fast=True")
         return spectrum_from_column(
             toeplitz_column(xgrids, kernel_fn, jitter), eig_floor
         )
     dims = tuple(len(g) for g in xgrids)
-    edims = embedded_dims(dims)
+    edims = embedded_dims(dims, multiple_of)
     # wrapped-lag coordinates per dim: x0 + min(j, L-j) * h
     coords = []
     for g, L in zip(xgrids, edims):

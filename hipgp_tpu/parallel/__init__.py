@@ -3,12 +3,24 @@ grid-sharded FFT solves."""
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
 from .dp import dp_batch_solve, dp_elbo_and_grads, dp_svigp_fit, make_dp_train_step
 from .fft_sharded import (
+    GridShardInfo,
+    host_weights,
+    local_circulant_apply,
+    local_mask,
+    local_whiten,
+    shard_multiples,
     sharded_gram_solve,
     sharded_inv_matmul,
     sharded_matmul_by_K,
 )
 
 __all__ = [
+    "GridShardInfo",
+    "host_weights",
+    "local_circulant_apply",
+    "local_mask",
+    "local_whiten",
+    "shard_multiples",
     "sharded_gram_solve",
     "sharded_inv_matmul",
     "sharded_matmul_by_K",

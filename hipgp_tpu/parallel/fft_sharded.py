@@ -1,29 +1,44 @@
 """Grid-sharded BTTB solves: the model-parallel axis the reference lacks.
 
 For inducing grids whose whitened state outgrows one chip, the expanded
-(circulant) grid's leading axis is sharded over a 'grid' mesh axis.  The
-key identity: with P the projector onto original-grid positions (an
-elementwise mask in expanded space), K v = P C P v — so the whole PCG solve
-runs on expanded-space shards where
+(circulant) grid is sharded over a 'grid' mesh axis.  The key identity: with
+P the projector onto original-grid positions (an elementwise mask in
+expanded space), K v = P C P v — so the whole PCG solve runs on
+expanded-space shards where
 
-* the circulant apply C (and C^{-1/2}, C^{-1}) is per-axis real-eigenbasis
-  matmuls (see `ops.bttb`) with ONE all_to_all transpose pair per direction
-  (the Ulysses-style decomposition: transform local axes, exchange, transform
-  the formerly-sharded axis),
+* the circulant apply C (and C^{1/2}, C^{-1}) runs axis-by-axis with ONE
+  all_to_all transpose pair per direction (the Ulysses-style decomposition:
+  transform local axes, exchange, transform the formerly-sharded axis);
+  each per-axis transform is the MXU real-eigenbasis matmul for short axes
+  (<= `ops.bttb.MATMUL_DFT_MAX_LEN`) or a local complex FFT for long axes
+  (mixing bases is exact because the circulant spectrum is real and EVEN
+  along every axis, so the real-basis pair rotation commutes with the
+  diagonal weights),
+* 1-D grids use the four-step (Cooley–Tukey L = L0*L1) distributed FFT:
+  local FFT over one factor, twiddle multiply, all_to_all transpose, local
+  FFT over the other factor — with the spectrum pre-permuted into the
+  four-step output order,
 * masks and axpys are local,
 * CG inner products psum over the grid axis.
 
-2-D grids (the paper's main regime) are supported; the construction extends
-to N-D by transposing one sharded axis at a time.
+Any dimensionality is supported.  Divisibility of the leading/minor
+embedded axes by the shard count is arranged at spectrum build time —
+``make_spectrum(..., multiple_of=shard_multiples(dims, n))`` pads the
+embedding (exact: the circulant embedding is valid for ANY length >= 2m-2).
 
 Everything is exact: `sharded_gram_solve` matches the single-device
 `ops.gram_solve` to reduction-order precision (tested on an 8-device CPU
-mesh).
+mesh, f64).
+
+The ``local_*`` functions are the composable core: they run INSIDE an
+ambient `shard_map` (e.g. one that also shards data over a 'dp' axis — see
+`parallel/mp.py` for the model-parallel HIPGP built on them).
 """
 from __future__ import annotations
 
+import math
 from functools import partial
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +47,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.bttb import (
+    MATMUL_DFT_MAX_LEN,
     BTTBSpectrum,
     _axis_contract,
     _full_weights,
@@ -39,48 +55,229 @@ from ..ops.bttb import (
 )
 from ..ops.cg import pcg
 
-__all__ = ["sharded_gram_solve", "sharded_inv_matmul", "sharded_matmul_by_K"]
+__all__ = [
+    "sharded_gram_solve",
+    "sharded_inv_matmul",
+    "sharded_matmul_by_K",
+    "shard_multiples",
+    "host_weights",
+    "local_circulant_apply",
+    "local_whiten",
+    "local_mask",
+    "GridShardInfo",
+]
 
 
-def _axis_mm(x, Q, axis, precision=None):
-    """Contract ``axis`` of x with Q, axis kept in place (shared with
-    ops.bttb so the contraction rule cannot drift)."""
-    del precision  # ops.bttb fixes MATMUL_DFT_PRECISION
-    return _axis_contract(x, Q, axis)
+# ---------------------------------------------------------------------------
+# static shard layout
+# ---------------------------------------------------------------------------
 
 
-def _sharded_circulant_apply(x, w_local, Qs, axis_name):
-    """C-apply on a (B, L0/n, L1, ..., L_{d-1}) expanded-space shard.
+class GridShardInfo:
+    """Static layout of one expanded grid sharded n ways.
 
-    Analysis: all trailing axes locally (minor first); one all_to_all pair
-    trades the sharded leading axis against the minor axis so it too can be
-    transformed locally; scale by the weight shard (sharded on the minor
-    axis); synthesis mirrored.
+    nd >= 2: the LEADING embedded axis is sharded (rows_per rows per shard);
+    the apply trades it against the MINOR axis with one all_to_all pair, so
+    both must divide n.  nd == 1: the length L splits as L = L0 * L1
+    (four-step FFT view, C order: flat = n0 * L1 + n1) with the L0 axis
+    sharded; both factors must divide n.
     """
-    from ..ops.bttb import MATMUL_DFT_PRECISION as prec
 
-    nd = len(Qs)
-    # analysis, local trailing axes, minor first
+    def __init__(self, spec: BTTBSpectrum, n_shards: int,
+                 matmul_max_len: Optional[int] = None):
+        self.dims = spec.dims
+        self.edims = spec.edims
+        self.n = int(n_shards)
+        self.nd = len(spec.dims)
+        self.matmul_max_len = (
+            MATMUL_DFT_MAX_LEN if matmul_max_len is None else matmul_max_len
+        )
+        if self.nd == 1:
+            L = spec.edims[0]
+            self.L0, self.L1 = _split_1d(L, self.n)
+            self.rows_per = self.L0 // self.n
+            self.local_shape = (self.rows_per, self.L1)  # (n0_local, n1)
+            self.Mp_local = L // self.n
+        else:
+            L0, Lm = spec.edims[0], spec.edims[-1]
+            if L0 % self.n:
+                raise ValueError(
+                    f"expanded leading dim {L0} not divisible by {self.n} "
+                    "shards — build the spectrum with "
+                    "make_spectrum(..., multiple_of=shard_multiples(dims, n))"
+                )
+            if Lm % self.n:
+                raise ValueError(
+                    f"expanded minor dim {Lm} not divisible by {self.n} "
+                    "shards — build the spectrum with "
+                    "make_spectrum(..., multiple_of=shard_multiples(dims, n))"
+                )
+            self.rows_per = L0 // self.n
+            self.local_shape = (self.rows_per,) + self.edims[1:]
+            self.Mp_local = spec.Mprime // self.n
+
+
+def _split_1d(L: int, n: int) -> Tuple[int, int]:
+    """Factor L = L0 * L1 with n | L0, n | L1, L0 as near sqrt(L) as
+    possible (balanced four-step)."""
+    best = None
+    for L0 in range(1, int(math.isqrt(L)) + 1):
+        if L % L0:
+            continue
+        L1 = L // L0
+        for a, b in ((L0, L1), (L1, L0)):
+            if a % n == 0 and b % n == 0:
+                score = abs(math.log(a) - math.log(b))
+                if best is None or score < best[0]:
+                    best = (score, a, b)
+    if best is None:
+        raise ValueError(
+            f"cannot split L={L} into two factors both divisible by n={n}; "
+            "build the spectrum with make_spectrum(..., "
+            "multiple_of=shard_multiples(dims, n)) so L is a multiple of n^2"
+        )
+    return best[1], best[2]
+
+
+def shard_multiples(dims: Sequence[int], n_shards: int) -> Tuple[int, ...]:
+    """Per-axis ``multiple_of`` for `ops.bttb.make_spectrum` so the embedded
+    grid shards evenly n ways: leading and minor axes divisible by n (1-D:
+    the single axis divisible by n^2 so it splits into two n-divisible
+    four-step factors)."""
+    nd = len(dims)
+    if nd == 1:
+        return (n_shards * n_shards,)
+    return (n_shards,) + (1,) * (nd - 2) + (n_shards,)
+
+
+# ---------------------------------------------------------------------------
+# host-side weight layout
+# ---------------------------------------------------------------------------
+
+
+def host_weights(spec: BTTBSpectrum, info: GridShardInfo) -> jnp.ndarray:
+    """The full (real, even) circulant spectrum arranged for the sharded
+    apply; pair with :func:`weights_pspec` as the shard_map in_spec.
+
+    nd >= 2: shape ``edims``, sharded on the MINOR axis (the scale happens
+    after the all_to_all transpose).  nd == 1: the four-step output order
+    Wt[k0, k1] = W[k1 * L0 + k0], shape (L0, L1), sharded on k0.
+    """
+    wfull = _full_weights(spec.eigs, spec.edims[-1])
+    if info.nd == 1:
+        return wfull.reshape(info.L1, info.L0).T
+    return wfull
+
+
+def weights_pspec(info: GridShardInfo, axis: str) -> P:
+    if info.nd == 1:
+        return P(axis, None)
+    return P(*([None] * (info.nd - 1) + [axis]))
+
+
+# ---------------------------------------------------------------------------
+# local (per-shard) circulant apply
+# ---------------------------------------------------------------------------
+
+
+def _axis_transform_local(x, L, axis, dtype, inverse, max_len):
+    """One-axis analysis/synthesis: MXU real-basis matmul for short axes,
+    local complex FFT for long axes (exact mix — see module docstring)."""
+    if L <= max_len:
+        Q = _real_fourier_basis(L, dtype)
+        if inverse:
+            Q = Q.T
+        return _axis_contract(x, Q, axis)
+    if inverse:
+        return jnp.fft.ifft(x, axis=axis)
+    return jnp.fft.fft(x, axis=axis)
+
+
+def local_circulant_apply(
+    x,
+    w_local,
+    info: GridShardInfo,
+    axis_name: str,
+):
+    """C-apply on one expanded-space shard; call inside shard_map.
+
+    x: (B, *info.local_shape) real.  w_local: the :func:`host_weights` shard
+    this device received (elementwise functions — sqrt, reciprocal — may be
+    applied to it by the caller; they commute with the layout).
+    Returns (B, *info.local_shape) real, same dtype.
+    """
+    if info.nd == 1:
+        return _four_step_apply(x, w_local, info, axis_name)
+    nd = info.nd
+    dtype = x.dtype
+    edims = info.edims
+    max_len = info.matmul_max_len
+    is_complex = False
+    # analysis over the local trailing axes, minor first (contraction order
+    # is a measured 13x lever on TPU — see ops/bttb.py)
     for a in range(-1, -nd, -1):
-        x = _axis_mm(x, Qs[a], a, prec)
+        x = _axis_transform_local(x, edims[a], a, dtype, False, max_len)
+        is_complex = is_complex or not (edims[a] <= max_len)
     # (B, L0/n, ..., Lm) -> (B, L0, ..., Lm/n)
     x = jax.lax.all_to_all(x, axis_name, split_axis=x.ndim - 1, concat_axis=1,
                            tiled=True)
-    x = _axis_mm(x, Qs[0], -nd, prec)  # leading axis, now local
+    x = _axis_transform_local(x, edims[0], -nd, dtype, False, max_len)
     x = x * w_local
-    x = _axis_mm(x, Qs[0].T, -nd, prec)
+    x = _axis_transform_local(x, edims[0], -nd, dtype, True, max_len)
     x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=x.ndim - 1,
                            tiled=True)
     for a in range(-nd + 1, 0):
-        x = _axis_mm(x, Qs[a].T, a, prec)
+        x = _axis_transform_local(x, edims[a], a, dtype, True, max_len)
+    if jnp.iscomplexobj(x):
+        x = x.real.astype(dtype)
     return x
 
 
-def _mask_local(spec: BTTBSpectrum, n_shards: int, shard_idx, dtype):
-    """(L0/n, L1, ..., L_{d-1}) mask of original-grid positions for this
-    row shard."""
-    edims, dims = spec.edims, spec.dims
-    rows_per = edims[0] // n_shards
+def _four_step_apply(x, wt_local, info: GridShardInfo, axis_name: str):
+    """1-D circulant apply via the distributed four-step FFT.
+
+    x: (B, rows_per, L1) — the (L0, L1) C-order view of the flat expanded
+    vector, rows (n0) sharded.  wt_local: (L0/n, L1) shard of the
+    four-step-ordered spectrum Wt[k0, k1] = W[k1*L0 + k0].
+    """
+    L0, L1, L = info.L0, info.L1, info.L0 * info.L1
+    n = info.n
+    dtype = x.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    z = x.astype(cdtype)
+
+    idx = jax.lax.axis_index(axis_name)
+    # make n0 local (n1 becomes sharded): (B, L0/n, L1) -> (B, L0, L1/n)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
+                           tiled=True)
+    z = jnp.fft.fft(z, axis=1)  # DFT_{L0} over n0 -> [k0, n1_local]
+    n1g = idx * (L1 // n) + jnp.arange(L1 // n)
+    k0 = jnp.arange(L0)
+    tw = jnp.exp((-2j * jnp.pi / L) * (k0[:, None] * n1g[None, :])).astype(cdtype)
+    z = z * tw[None]
+    # make n1 local (k0 becomes sharded): (B, L0, L1/n) -> (B, L0/n, L1)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
+                           tiled=True)
+    z = jnp.fft.fft(z, axis=2)  # DFT_{L1} over n1 -> [k0_local, k1]
+    z = z * wt_local[None]
+    z = jnp.fft.ifft(z, axis=2)
+    # back: k0 local again, n1 sharded
+    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
+                           tiled=True)
+    z = z * jnp.conj(tw)[None]
+    z = jnp.fft.ifft(z, axis=1)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
+                           tiled=True)
+    return z.real.astype(dtype)
+
+
+def local_mask(info: GridShardInfo, shard_idx, dtype) -> jnp.ndarray:
+    """(Mp_local,) flat mask of original-grid positions for this shard."""
+    dims, edims = info.dims, info.edims
+    if info.nd == 1:
+        flat = shard_idx * info.Mp_local + jnp.arange(info.Mp_local)
+        return (flat < dims[0]).astype(dtype)
+    rows_per = info.rows_per
     r = shard_idx * rows_per + jnp.arange(rows_per)
     mask = (r < dims[0]).astype(dtype)
     mask = mask.reshape((rows_per,) + (1,) * (len(dims) - 1))
@@ -89,13 +286,74 @@ def _mask_local(spec: BTTBSpectrum, n_shards: int, shard_idx, dtype):
         shape = [1] * len(dims)
         shape[a] = edims[a]
         mask = mask * ax_mask.reshape(shape)
-    return mask
+    return mask.reshape(-1)
+
+
+def _grid_dot(axis_name):
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b, axis=-1), axis_name)
+
+    return dot
+
+
+def local_whiten(
+    x_local: jnp.ndarray,
+    w_local: jnp.ndarray,
+    info: GridShardInfo,
+    axis_name: str,
+    maxiter: int = 20,
+    tol: float = 1e-8,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """kn = R^T K^{-1} x on expanded-space shards; call inside shard_map.
+
+    x_local: (B, Mp_local) flat local slice of the expanded-space embedding
+    of the RHS (original entries in place, padding zeros).  Returns
+    (B, Mp_local) — the local slice of the whitened (B, M') result.
+    """
+    return _local_solve(x_local, w_local, info, axis_name, "whiten",
+                        maxiter, tol, mask)
+
+
+def _local_solve(x_local, w_local, info, axis_name, mode, maxiter, tol,
+                 mask=None):
+    B = x_local.shape[0]
+    dtype = x_local.dtype
+    if mask is None:
+        mask = local_mask(info, jax.lax.axis_index(axis_name), dtype)
+
+    def cmul(vflat, w):
+        v = vflat.reshape((B,) + info.local_shape)
+        out = local_circulant_apply(v, w, info, axis_name)
+        return out.reshape(B, -1)
+
+    def kv(vflat):
+        return mask * cmul(vflat * mask, w_local)
+
+    def cinv(vflat):
+        return mask * cmul(vflat * mask, 1.0 / w_local)
+
+    if mode == "apply":
+        return kv(x_local)
+    sol = pcg(kv, x_local * mask, precond=cinv, maxiter=maxiter, tol=tol,
+              dot_fn=_grid_dot(axis_name))
+    if mode == "solve":
+        return sol
+    # whiten: R^T d = C^{1/2} [d; 0] (full expanded output)
+    return cmul(sol * mask, jnp.sqrt(w_local))
+
+
+# ---------------------------------------------------------------------------
+# host-level wrappers (full arrays in / out)
+# ---------------------------------------------------------------------------
 
 
 def sharded_matmul_by_K(spec: BTTBSpectrum, v: jnp.ndarray, mesh: Mesh,
-                        axis: str = "grid") -> jnp.ndarray:
+                        axis: str = "grid",
+                        matmul_max_len: Optional[int] = None) -> jnp.ndarray:
     """K @ v with the expanded grid sharded over ``axis``; v: (B, M)."""
-    return _solve_or_apply(spec, v, mesh, axis, mode="apply")
+    return _solve_or_apply(spec, v, mesh, axis, mode="apply",
+                           matmul_max_len=matmul_max_len)
 
 
 def sharded_inv_matmul(
@@ -105,10 +363,12 @@ def sharded_inv_matmul(
     axis: str = "grid",
     maxiter: int = 20,
     tol: float = 1e-8,
+    matmul_max_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """K^{-1} b via masked PCG over grid shards; b: (B, M) -> (B, M)."""
     return _solve_or_apply(spec, b, mesh, axis, mode="solve",
-                           maxiter=maxiter, tol=tol)
+                           maxiter=maxiter, tol=tol,
+                           matmul_max_len=matmul_max_len)
 
 
 def sharded_gram_solve(
@@ -118,82 +378,49 @@ def sharded_gram_solve(
     axis: str = "grid",
     maxiter: int = 20,
     tol: float = 1e-8,
+    matmul_max_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """K^{-1/2} b = R^T K^{-1} b, grid-sharded; b: (B, M) -> (B, M')."""
     return _solve_or_apply(spec, b, mesh, axis, mode="whiten",
-                           maxiter=maxiter, tol=tol)
+                           maxiter=maxiter, tol=tol,
+                           matmul_max_len=matmul_max_len)
 
 
-def _solve_or_apply(spec, b, mesh, axis, mode, maxiter=20, tol=1e-8):
-    nd = spec.ndim
-    if nd < 2:
-        raise NotImplementedError("grid sharding needs >= 2 grid dims")
-    n = mesh.shape[axis]
-    edims = spec.edims
-    L0, Lm = edims[0], edims[-1]
-    if L0 % n:
-        raise ValueError(f"expanded leading dim {L0} not divisible by {n} shards")
-    if Lm % n:
-        raise ValueError(f"expanded minor dim {Lm} not divisible by {n} shards")
+def _embed_full(spec: BTTBSpectrum, b: jnp.ndarray) -> jnp.ndarray:
+    """(B, M) -> (B, M') zero-padded expanded-space embedding, flat."""
     B = b.shape[0]
-    dtype = b.dtype
-
-    # embed (B, M) into expanded space, zero-padded
     x = b.reshape((B,) + spec.dims)
-    pad = [(0, 0)] + [(0, e - d) for d, e in zip(spec.dims, edims)]
-    x = jnp.pad(x, pad)
+    pad = [(0, 0)] + [(0, e - d) for d, e in zip(spec.dims, spec.edims)]
+    return jnp.pad(x, pad).reshape(B, -1)
 
-    Qs = [_real_fourier_basis(L, dtype) for L in edims]
-    wfull = _full_weights(spec.eigs, Lm)  # (*edims)
 
-    rows = L0 // n
-    local_edims = (rows,) + edims[1:]
+def _crop_full(spec: BTTBSpectrum, y: jnp.ndarray) -> jnp.ndarray:
+    """(B, M') expanded flat -> (B, M) original-grid entries."""
+    B = y.shape[0]
+    y = y.reshape((B,) + spec.edims)
+    crop = tuple([slice(None)] + [slice(0, d) for d in spec.dims])
+    return y[crop].reshape(B, -1)
 
-    def local_fn(xl, w_l, wsqrt_l, winv_l):
-        # xl: (B, rows, L1, ..., Lm) row shard; w_*: weight shards split on
-        # the MINOR axis (the scale happens after the all_to_all transpose)
-        idx = jax.lax.axis_index(axis)
-        mask = _mask_local(spec, n, idx, dtype).reshape(-1)
 
-        # pcg works on flat (B, local) vectors so its axpys and reductions
-        # stay one-axis; the circulant apply reshapes internally
-        def cmul(vflat, w):
-            v = vflat.reshape((B,) + local_edims)
-            out = _sharded_circulant_apply(v, w, Qs, axis)
-            return out.reshape(B, -1)
+def _solve_or_apply(spec, b, mesh, axis, mode, maxiter=20, tol=1e-8,
+                    matmul_max_len=None):
+    n = mesh.shape[axis]
+    info = GridShardInfo(spec, n, matmul_max_len=matmul_max_len)
+    x = _embed_full(spec, b)  # (B, M') flat; shard_map splits the last axis
+    w = host_weights(spec, info)
 
-        def kv(vflat):
-            return mask * cmul(vflat * mask, w_l)
-
-        def cinv(vflat):
-            return mask * cmul(vflat * mask, winv_l)
-
-        def dot(a_, b_):
-            return jax.lax.psum(jnp.sum(a_ * b_, axis=-1), axis)
-
-        xflat = xl.reshape(B, -1)
-        if mode == "apply":
-            return kv(xflat).reshape((B,) + local_edims)
-        sol = pcg(kv, xflat * mask, precond=cinv, maxiter=maxiter, tol=tol,
-                  dot_fn=dot)
-        if mode == "solve":
-            return sol.reshape((B,) + local_edims)
-        # whiten: R^T d = C^{1/2} [d; 0] (full expanded output)
-        return cmul(sol * mask, wsqrt_l).reshape((B,) + local_edims)
-
-    data_spec = P(*([None, axis] + [None] * (nd - 1)))
-    w_spec = P(*([None] * (nd - 1) + [axis]))  # weights split on minor axis
+    def local_fn(xl, wl):
+        out = _local_solve(xl, wl, info, axis, mode, maxiter, tol)
+        return out
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(data_spec, w_spec, w_spec, w_spec),
-        out_specs=data_spec,
+        in_specs=(P(None, axis), weights_pspec(info, axis)),
+        out_specs=P(None, axis),
         check_vma=False,
     )
-    out = fn(x, wfull, jnp.sqrt(wfull), 1.0 / wfull)
-
+    out = fn(x, w)
     if mode == "whiten":
-        return out.reshape(B, -1)
-    crop = tuple([slice(None)] + [slice(0, d) for d in spec.dims])
-    return out[crop].reshape(B, -1)
+        return out
+    return _crop_full(spec, out)

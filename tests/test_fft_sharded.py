@@ -82,3 +82,79 @@ def test_sharded_3d_matches_single_device():
         np.asarray(gram_solve(spec, b, maxiter=150, tol=1e-12)),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_sharded_1d_four_step_matches():
+    """1-D grids shard via the distributed four-step FFT (the M=1e6
+    pcg-vs-cholesky regime, `run_pcg_vs_cholesky.py:64` in the reference)."""
+    from hipgp_tpu.parallel import shard_multiples
+
+    M = 1000
+    grids = [jnp.linspace(0.0, 1.0, M)]
+    kf = lambda a, b: SqExp()(a, b, (1.0, 0.005))
+    spec = make_spectrum(grids, kf, jitter=1e-3,
+                         multiple_of=shard_multiples((M,), 8))
+    assert spec.edims[0] % 64 == 0, spec.edims
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((4, M)))
+    mesh = make_mesh(8, axis_names=("grid",))
+    # force the four-step FFT path (the real target is L ~ 2^21 on TPU)
+    np.testing.assert_allclose(
+        np.asarray(sharded_matmul_by_K(spec, b, mesh)),
+        np.asarray(matmul_by_K(spec, b)), rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded_gram_solve(spec, b, mesh, maxiter=100, tol=1e-12)),
+        np.asarray(gram_solve(spec, b, maxiter=100, tol=1e-12)),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
+def test_sharded_long_axis_fft_path():
+    """Axes beyond the matmul-basis limit transform via LOCAL complex FFTs
+    mixed with real-basis matmuls on the short axes — exercised here by
+    forcing a tiny matmul_max_len so the CPU test hits the FFT branch."""
+    grids = [jnp.linspace(0.0, 1.0, 17), jnp.linspace(0.0, 1.0, 13)]
+    kf = lambda a, b: SqExp()(a, b, (1.0, 0.1))
+    spec = make_spectrum(grids, kf, jitter=1e-3)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((5, spec.M)))
+    mesh = make_mesh(8, axis_names=("grid",))
+    for max_len in (0, 30):  # 0: both axes FFT; 30: leading FFT, minor matmul
+        np.testing.assert_allclose(
+            np.asarray(sharded_matmul_by_K(spec, b, mesh,
+                                           matmul_max_len=max_len)),
+            np.asarray(matmul_by_K(spec, b)), rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded_gram_solve(spec, b, mesh, maxiter=150,
+                                          tol=1e-12, matmul_max_len=max_len)),
+            np.asarray(gram_solve(spec, b, maxiter=150, tol=1e-12)),
+            rtol=1e-7, atol=1e-9,
+        )
+
+
+def test_shard_multiples_padding_is_exact():
+    """Padding the embedding to shard-divisible lengths changes M' but
+    NEVER the operator K."""
+    from hipgp_tpu.ops import dense_gram
+    from hipgp_tpu.parallel import shard_multiples
+
+    grids = [jnp.linspace(0.0, 1.0, 15), jnp.linspace(0.0, 1.0, 4)]
+    kf = lambda a, b: SqExp()(a, b, (1.0, 0.07))
+    # minimal edims (30, 6): neither divisible by 8
+    spec_pad = make_spectrum(grids, kf, jitter=1e-3,
+                             multiple_of=shard_multiples((15, 4), 8))
+    assert spec_pad.edims[0] % 8 == 0 and spec_pad.edims[-1] % 8 == 0
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal((3, spec_pad.M)))
+    Kd = dense_gram(grids, kf, jitter=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(matmul_by_K(spec_pad, b)), np.asarray(b @ Kd),
+        rtol=1e-9, atol=1e-11,
+    )
+    mesh = make_mesh(8, axis_names=("grid",))
+    np.testing.assert_allclose(
+        np.asarray(sharded_matmul_by_K(spec_pad, b, mesh)),
+        np.asarray(b @ Kd), rtol=1e-9, atol=1e-11,
+    )
