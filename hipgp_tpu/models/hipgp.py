@@ -101,6 +101,7 @@ class HIPGP:
         learn_kernel: bool = False,
         learn_noise: bool = False,
         support_integrated_obs: bool = False,
+        grid_shards: Optional[int] = None,
         dtype=None,
     ):
         if family not in ("mean-field", "block", "full-rank"):
@@ -133,8 +134,17 @@ class HIPGP:
         self.M = int(np.prod(self.dims))
         self.ndim = len(self.dims)
 
+        # grid_shards: pad the circulant embedding so it shards evenly over
+        # an n-way 'grid' mesh axis (model parallelism, `parallel/mp.py`);
+        # padding is exact — it changes M' but never the operator K
+        self.grid_shards = grid_shards
+        self._spec_multiple = None
         if whitened_type == "ziggy":
-            self.edims = embedded_dims(self.dims)
+            if grid_shards and grid_shards > 1:
+                from ..parallel.fft_sharded import shard_multiples
+
+                self._spec_multiple = shard_multiples(self.dims, grid_shards)
+            self.edims = embedded_dims(self.dims, self._spec_multiple)
             self.Mprime = int(np.prod(self.edims))
         else:
             self.edims = self.dims
@@ -213,7 +223,8 @@ class HIPGP:
     def spectrum(self, state: HIPGPState) -> BTTBSpectrum:
         params = self.kernel_params(state)
         kfun = lambda x, y: self.kernel(x, y, params)
-        return make_spectrum(self.xgrids, kfun, jitter=self.jitter)
+        return make_spectrum(self.xgrids, kfun, jitter=self.jitter,
+                             multiple_of=self._spec_multiple)
 
     def _kmm_chol(self, state: HIPGPState) -> jnp.ndarray:
         params = self.kernel_params(state)

@@ -2,6 +2,7 @@
 grid-sharded FFT solves."""
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
 from .dp import dp_batch_solve, dp_elbo_and_grads, dp_svigp_fit, make_dp_train_step
+from .mp import grid_state_spec, mp_batch_solve, mp_predict, mp_shard_state
 from .fft_sharded import (
     GridShardInfo,
     host_weights,
@@ -31,6 +32,10 @@ __all__ = [
     "shard_batch",
     "dp_batch_solve",
     "dp_svigp_fit",
+    "grid_state_spec",
+    "mp_batch_solve",
+    "mp_predict",
+    "mp_shard_state",
     "dp_elbo_and_grads",
     "make_dp_train_step",
 ]

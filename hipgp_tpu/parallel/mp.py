@@ -1,0 +1,445 @@
+"""Model-parallel HIP-GP: the whitened state sharded over a 'grid' mesh axis,
+composed with data parallelism over a 'dp' axis.
+
+This is the capability the reference cannot express at all (it is strictly
+single-device, `ziggy/svi_gp.py:182-184`): a mean-field HIP-GP whose whitened
+state (theta1, theta2, Lambda — all (M',)), cross-covariances kn (N x M'),
+and every transform in the PCG whitening solve live in shards of M'/n_grid
+per device, while data rows are simultaneously sharded n_dp ways.  Nothing
+about the math changes — the whitening semantics are exactly
+`ziggy/misc/toeplitz_tensor.py:85-112`, executed distributed:
+
+* Knm is evaluated per-shard directly in the EXPANDED layout: each grid
+  shard computes the kernel only against its own slice of inducing rows
+  (memory per device: bsz x M'/n_grid, never the full row),
+* the whitening PCG runs on expanded-space shards via
+  `fft_sharded.local_whiten` (per-axis transforms + all_to_all, psum dots),
+* Lambda (diagonal) and b accumulate locally and psum over 'dp' only,
+* the optimal-mean system (I + sum_n kn kn^T / s_n^2) m = b is solved by CG
+  with the kn stack kept sharded: each matvec is one psum over 'grid'
+  (kn @ m) and one over 'dp' (kn^T (ivar u)) — the full M' x M' Lambda is
+  never materialized on any device,
+* prediction psums the per-row contractions (kn qm, kn.kn, kn^2 S) over
+  'grid'.
+
+Supported family: 'mean-field' (the paper's headline family and the only
+one whose Lambda stays O(M') — block/full-rank variational state is dense
+in the block/global dimension and belongs on one chip or in the dp path).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cg import pcg
+from .fft_sharded import (
+    GridShardInfo,
+    host_weights,
+    local_mask,
+    local_whiten,
+    weights_pspec,
+)
+
+__all__ = [
+    "mp_batch_solve",
+    "mp_predict",
+    "mp_shard_state",
+    "grid_state_spec",
+]
+
+LN2PI = math.log(2.0 * math.pi)
+
+
+def _check_model(model):
+    if model.family != "mean-field":
+        raise ValueError(
+            "grid-sharded (model-parallel) HIP-GP supports the mean-field "
+            f"family; got {model.family!r}"
+        )
+    if model.whitened_type != "ziggy":
+        raise ValueError("grid sharding requires whitened_type='ziggy'")
+
+
+def grid_state_spec(model, grid_axis: str = "grid"):
+    """HIPGPState-shaped PartitionSpec pytree: thetas sharded over the grid
+    axis, scalars replicated."""
+    from ..models.hipgp import HIPGPState
+
+    return HIPGPState(
+        theta1=P(grid_axis),
+        theta2=P(grid_axis),
+        log_sig2=P(),
+        log_ell=P(),
+        log_noise2=P(),
+    )
+
+
+def mp_shard_state(state, mesh: Mesh, grid_axis: str = "grid"):
+    """Place a mean-field state with its theta vectors sharded over the
+    grid axis (scalars replicated)."""
+    spec = grid_state_spec(None, grid_axis)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), state, spec
+    )
+
+
+def _local_embedded_knm(
+    model,
+    params,
+    xb: jnp.ndarray,
+    info: GridShardInfo,
+    shard_idx,
+    integrated_obs: bool = False,
+    semi_integrated_estimator: str = "analytic",
+    semi_integrated_samps: int = 10,
+    key=None,
+) -> jnp.ndarray:
+    """The local slice of Knm, evaluated directly in the expanded layout.
+
+    Returns (bsz, Mp_local): rows of the circulant embedding of Knm owned by
+    this grid shard — original-grid positions hold k(x_b, z_j), padding
+    positions are zero.  Each device touches only M/n_grid inducing points.
+    """
+    dims = model.dims
+    dtype = model.dtype
+    bsz = xb.shape[0]
+
+    if info.nd == 1:
+        flat = shard_idx * info.Mp_local + jnp.arange(info.Mp_local)
+        valid = flat < dims[0]
+        g = model.xgrids[0][jnp.clip(flat, 0, dims[0] - 1)]
+        pts = g[:, None]
+        row_mask = valid.astype(dtype)
+        local_dims = (info.Mp_local,)
+        local_shape = (info.Mp_local,)
+    else:
+        rows_per = info.rows_per
+        ridx = shard_idx * rows_per + jnp.arange(rows_per)
+        valid = ridx < dims[0]
+        g0 = model.xgrids[0][jnp.clip(ridx, 0, dims[0] - 1)]
+        mesh_pts = jnp.meshgrid(g0, *model.xgrids[1:], indexing="ij")
+        pts = jnp.stack([m.reshape(-1) for m in mesh_pts], axis=-1)
+        row_mask = valid.astype(dtype)
+        local_dims = (rows_per,) + dims[1:]
+        local_shape = info.local_shape
+
+    if integrated_obs:
+        if semi_integrated_estimator == "analytic":
+            from ..kernels import k_semi_sqexp
+
+            Knm = k_semi_sqexp(pts, xb, params).T  # (bsz, n_local_pts)
+        elif semi_integrated_estimator == "mc-biased":
+            from ..kernels import k_semi_mc
+
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            Knm = k_semi_mc(key, model.kernel, pts, xb, params,
+                            npts=semi_integrated_samps).T
+        else:
+            raise ValueError(
+                f"unknown estimator {semi_integrated_estimator!r}"
+            )
+    else:
+        Knm = model.kernel(xb, pts, params)  # (bsz, n_local_pts)
+
+    x = Knm.reshape((bsz,) + local_dims)
+    if info.nd == 1:
+        x = x * row_mask[None, :]
+        return x
+    x = x * row_mask.reshape((1, -1) + (1,) * (len(dims) - 1))
+    pad = [(0, 0), (0, 0)] + [
+        (0, e - d) for d, e in zip(dims[1:], info.edims[1:])
+    ]
+    x = jnp.pad(x, pad)
+    return x.reshape(bsz, -1)
+
+
+def _local_mf_standard_params(model, theta1_loc, theta2_loc):
+    """(qm, qS) local slices from the stored parameterization (mean-field)."""
+    if model.parameterization == "standard":
+        return theta1_loc, theta2_loc
+    qS = -0.5 / theta2_loc
+    return qS * theta1_loc, qS
+
+
+def _pad_rows(arrays, total, fills):
+    out = []
+    for a, fill in zip(arrays, fills):
+        if a is None:
+            out.append(None)
+            continue
+        pad = total - a.shape[0]
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, width, constant_values=fill)
+        out.append(a)
+    return out
+
+
+def mp_batch_solve(
+    model,
+    state,
+    xobs: jnp.ndarray,
+    yobs: jnp.ndarray,
+    noise_std: Optional[jnp.ndarray],
+    mesh: Mesh,
+    batch_size: int = 1024,
+    maxiter_cg: int = 10,
+    tol: float = 1e-8,
+    mean_solver_maxiter: int = 200,
+    mean_solver_tol: float = 1e-8,
+    integrated_obs: bool = False,
+    semi_integrated_estimator: str = "analytic",
+    semi_integrated_samps: int = 10,
+    key=None,
+    compute_elbo: bool = False,
+    dp_axis: str = "dp",
+    grid_axis: str = "grid",
+):
+    """Closed-form optimal mean-field q with M' sharded over ``grid_axis``
+    and data rows over ``dp_axis`` (`ziggy/hipgp.py:278-368`, distributed).
+
+    Returns the new state (theta vectors grid-sharded), or
+    ``(new_state, elbo)`` when ``compute_elbo`` — the ELBO pass reuses the
+    sharded kn stack, no second whitening sweep.
+    """
+    _check_model(model)
+    ndp = mesh.shape[dp_axis]
+    ng = mesh.shape[grid_axis]
+    spec = model.spectrum(state)
+    info = GridShardInfo(spec, ng)
+    w_host = host_weights(spec, info)
+
+    N = xobs.shape[0]
+    y = yobs.reshape(-1)
+    ns = None if noise_std is None else noise_std.reshape(-1)
+    dtype = model.dtype
+
+    bsz_loc = -(-min(batch_size, N) // ndp)
+    chunk = bsz_loc * ndp
+    nsteps = -(-N // chunk)
+    total = nsteps * chunk
+    w = jnp.ones((N,), dtype)
+    x_p, y_p, w_p, ns_p = _pad_rows((xobs, y, w, ns), total,
+                                    fills=(0.0, 0.0, 0.0, 1.0))
+    x_p = x_p.reshape(nsteps, chunk, -1)
+    y_p = y_p.reshape(nsteps, chunk)
+    w_p = w_p.reshape(nsteps, chunk)
+    ns_p = None if ns_p is None else ns_p.reshape(nsteps, chunk)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, nsteps)
+
+    params = (jnp.exp(state.log_sig2), jnp.exp(state.log_ell))
+    has_ns = ns_p is not None
+
+    def local_fn(log_noise2, xb, yb, wb, nsb, kb, wgt):
+        gidx = jax.lax.axis_index(grid_axis)
+        mask = local_mask(info, gidx, dtype)
+        Mp_loc = info.Mp_local
+
+        def ivar_of(wl, nsl):
+            if nsl is not None:
+                return wl / (nsl * nsl)
+            return wl * jnp.exp(-log_noise2)
+
+        def body(carry, inp):
+            lam_a, b_a = carry
+            xl, yl, wl, nsl, kl = inp
+            ivar = ivar_of(wl, nsl)
+            knm = _local_embedded_knm(
+                model, params, xl, info, gidx,
+                integrated_obs, semi_integrated_estimator,
+                semi_integrated_samps, kl,
+            )
+            kn = local_whiten(knm, wgt, info, grid_axis,
+                              maxiter=maxiter_cg, tol=tol, mask=mask)
+            lam_a = lam_a + jnp.sum(ivar[:, None] * kn * kn, axis=0)
+            b_a = b_a + kn.T @ (ivar * yl)
+            return (lam_a, b_a), (kn, ivar)
+
+        lam0 = jnp.zeros((Mp_loc,), dtype)
+        b0 = jnp.zeros((Mp_loc,), dtype)
+        lam0, b0 = jax.lax.pcast((lam0, b0), (dp_axis, grid_axis),
+                                 to="varying")
+        if has_ns:
+            (lam, b), (kn_stack, ivar_stack) = jax.lax.scan(
+                body, (lam0, b0), (xb, yb, wb, nsb, kb)
+            )
+        else:
+            (lam, b), (kn_stack, ivar_stack) = jax.lax.scan(
+                lambda c, i: body(c, (i[0], i[1], i[2], None, i[3])),
+                (lam0, b0), (xb, yb, wb, kb),
+            )
+        # information-form sums are over ALL data: reduce over dp
+        lam = jax.lax.psum(lam, dp_axis)
+        b = jax.lax.psum(b, dp_axis)
+
+        kn_all = kn_stack.reshape(-1, Mp_loc)  # (N_local, Mp_local)
+        ivar_all = ivar_stack.reshape(-1)
+
+        # optimal mean: (I + sum_n kn kn^T / s_n^2) m = b by CG with the kn
+        # stack sharded both ways; m is grid-sharded, replicated over dp
+        def big_mv(v):  # v: (1, Mp_local)
+            u = jax.lax.psum(kn_all @ v[0], grid_axis)  # (N_local,)
+            r = jax.lax.psum(kn_all.T @ (ivar_all * u), dp_axis)
+            return v + r[None]
+
+        def grid_dot(a, bb):
+            return jax.lax.psum(jnp.sum(a * bb, axis=-1), grid_axis)
+
+        mhat = pcg(big_mv, b[None], maxiter=mean_solver_maxiter,
+                   tol=mean_solver_tol, dot_fn=grid_dot)[0]
+
+        lam_I = lam + 1.0
+        if model.parameterization == "standard":
+            theta1, theta2 = mhat, 1.0 / lam_I
+        else:
+            theta1, theta2 = mhat * lam_I, -0.5 * lam_I
+
+        if not compute_elbo:
+            zero = jnp.zeros((), dtype)
+            return theta1, theta2, zero
+
+        qm, qS = _local_mf_standard_params(model, theta1, theta2)
+        knm_all = jax.lax.psum(kn_all @ qm, grid_axis)  # (N_local,)
+        knkn = jax.lax.psum(jnp.sum(kn_all * kn_all, axis=-1), grid_axis)
+        knSkn = jax.lax.psum((kn_all * kn_all) @ qS, grid_axis)
+        y_all = yb.reshape(-1)
+        w_all = wb.reshape(-1)
+        if has_ns:
+            ns_all = nsb.reshape(-1)
+            log_ns = jnp.log(ns_all)
+        else:
+            log_ns = 0.5 * log_noise2
+        # prior diagonal: local to the dp shard, replicated over grid
+        x_all = xb.reshape(-1, xb.shape[-1])
+        if integrated_obs:
+            Knn = model.diag_interp(x_all, params)
+        else:
+            Knn = model.kernel.diag(x_all, params)
+        an = (
+            -0.5 * ivar_all * ((knm_all - y_all) ** 2 + Knn - knkn + knSkn)
+            - log_ns
+            - 0.5 * LN2PI
+        )
+        total_an = jax.lax.psum(jnp.sum(an * w_all), dp_axis)
+        kl_loc = 0.5 * jnp.sum(qS + qm * qm - 1.0 - jnp.log(qS))
+        kl = jax.lax.psum(kl_loc, grid_axis)
+        elbo = total_an / N - kl / model.N
+        return theta1, theta2, elbo
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, dp_axis, None),
+            P(None, dp_axis),
+            P(None, dp_axis),
+            (P(None, dp_axis) if has_ns else P()),
+            P(),
+            weights_pspec(info, grid_axis),
+        ),
+        out_specs=(P(grid_axis), P(grid_axis), P()),
+        check_vma=False,
+    )
+    theta1, theta2, elbo = jax.jit(fn)(
+        state.log_noise2, x_p, y_p, w_p,
+        ns_p if has_ns else jnp.zeros((), dtype), keys, w_host,
+    )
+    new_state = state.replace(theta1=theta1, theta2=theta2)
+    if compute_elbo:
+        return new_state, elbo
+    return new_state
+
+
+def mp_predict(
+    model,
+    state,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    batch_size: int = 1024,
+    maxiter_cg: int = 50,
+    tol: float = 1e-8,
+    var_clamp: float = 1e-5,
+    integrated_obs: bool = False,
+    semi_integrated_estimator: str = "analytic",
+    semi_integrated_samps: int = 10,
+    key=None,
+    dp_axis: str = "dp",
+    grid_axis: str = "grid",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mu*, sig*) with prediction rows sharded over 'dp' and every kn
+    contraction sharded over 'grid' (`ziggy/hipgp.py:416-446`, distributed)."""
+    _check_model(model)
+    ndp = mesh.shape[dp_axis]
+    ng = mesh.shape[grid_axis]
+    spec = model.spectrum(state)
+    info = GridShardInfo(spec, ng)
+    w_host = host_weights(spec, info)
+    dtype = model.dtype
+
+    N = x.shape[0]
+    bsz_loc = -(-min(batch_size, N) // ndp)
+    chunk = bsz_loc * ndp
+    nsteps = -(-N // chunk)
+    total = nsteps * chunk
+    (x_p,) = _pad_rows((x,), total, fills=(0.0,))
+    x_p = x_p.reshape(nsteps, chunk, -1)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, nsteps)
+
+    params = (jnp.exp(state.log_sig2), jnp.exp(state.log_ell))
+
+    def local_fn(theta1_loc, theta2_loc, xb, kb, wgt):
+        gidx = jax.lax.axis_index(grid_axis)
+        mask = local_mask(info, gidx, dtype)
+        qm, qS = _local_mf_standard_params(model, theta1_loc, theta2_loc)
+
+        def body(_, inp):
+            xl, kl = inp
+            knm = _local_embedded_knm(
+                model, params, xl, info, gidx,
+                integrated_obs, semi_integrated_estimator,
+                semi_integrated_samps, kl,
+            )
+            kn = local_whiten(knm, wgt, info, grid_axis,
+                              maxiter=maxiter_cg, tol=tol, mask=mask)
+            mu = jax.lax.psum(kn @ qm, grid_axis)
+            knkn = jax.lax.psum(jnp.sum(kn * kn, axis=-1), grid_axis)
+            knSkn = jax.lax.psum((kn * kn) @ qS, grid_axis)
+            if integrated_obs:
+                Knn = model.diag_interp(xl, params)
+            else:
+                Knn = model.kernel.diag(xl, params)
+            ktilde = jnp.maximum(Knn.reshape(-1) - knkn, var_clamp)
+            sig = jnp.sqrt(ktilde + knSkn)
+            return None, (mu, sig)
+
+        _, (mu, sig) = jax.lax.scan(body, None, (xb, kb))
+        return mu, sig
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(grid_axis),
+            P(grid_axis),
+            P(None, dp_axis, None),
+            P(),
+            weights_pspec(info, grid_axis),
+        ),
+        out_specs=(P(None, dp_axis), P(None, dp_axis)),
+        check_vma=False,
+    )
+    mu, sig = jax.jit(fn)(state.theta1, state.theta2, x_p, keys, w_host)
+    return mu.reshape(-1)[:N], sig.reshape(-1)[:N]

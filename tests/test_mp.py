@@ -1,0 +1,163 @@
+"""Model-parallel (grid-sharded) HIP-GP vs the single-device model.
+
+8 virtual CPU devices in a ('dp', 'grid') mesh; f64.  The sharded mean-field
+batch_solve and predict must agree with `models.hipgp.HIPGP.batch_solve` /
+`.predict` on a model built with the SAME shard padding (padding changes M'
+but never K — see test_fft_sharded.test_shard_multiples_padding_is_exact).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipgp_tpu.kernels import SqExp
+from hipgp_tpu.models import HIPGP
+from hipgp_tpu.parallel import make_mesh, mp_batch_solve, mp_predict, mp_shard_state
+
+
+def _mesh(ndp, ng):
+    devs = np.array(jax.devices()[: ndp * ng]).reshape(ndp, ng)
+    from jax.sharding import Mesh
+
+    return Mesh(devs, ("dp", "grid"))
+
+
+def _data(N=300, seed=0, dim=2):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.05, 0.95, (N, dim))
+    f = np.sin(3 * x[:, 0]) * np.cos(2 * x[:, -1])
+    s = rng.uniform(0.05, 0.15, N)
+    y = f + s * rng.standard_normal(N)
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(s)
+
+
+@pytest.mark.parametrize("ndp,ng", [(2, 4), (1, 8)])
+def test_mp_batch_solve_matches_single_device(ndp, ng):
+    x, y, s = _data()
+    grids = [jnp.linspace(0.0, 1.0, 11)] * 2
+    model = HIPGP(SqExp(), grids, num_obs=len(x), family="mean-field",
+                  ell_init=0.15, noise2_init=0.01, grid_shards=ng,
+                  dtype=jnp.float64)
+    state = model.init_state()
+
+    ref_state, ref_elbo = model.batch_solve(
+        state, x, y, s, batch_size=100, maxiter_cg=50, compute_elbo=True,
+        mean_solver="cg", mean_solver_maxiter=300, mean_solver_tol=1e-12,
+    )
+
+    mesh = _mesh(ndp, ng)
+    got_state, got_elbo = mp_batch_solve(
+        model, mp_shard_state(state, mesh), x, y, s, mesh,
+        batch_size=100, maxiter_cg=50, mean_solver_maxiter=300,
+        mean_solver_tol=1e-12, compute_elbo=True,
+    )
+    # theta1 comes out of a ~kappa=1e4 truncated CG mean solve; sharded
+    # reduction order perturbs iterates at ~1e-5 relative (theta2 is tight)
+    np.testing.assert_allclose(np.asarray(got_state.theta1),
+                               np.asarray(ref_state.theta1),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_state.theta2),
+                               np.asarray(ref_state.theta2),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(got_elbo), float(ref_elbo), rtol=1e-6)
+
+
+def test_mp_predict_matches_single_device():
+    x, y, s = _data()
+    grids = [jnp.linspace(0.0, 1.0, 11)] * 2
+    ng = 4
+    model = HIPGP(SqExp(), grids, num_obs=len(x), family="mean-field",
+                  ell_init=0.15, noise2_init=0.01, grid_shards=ng,
+                  dtype=jnp.float64)
+    state = model.batch_solve(state=model.init_state(), xobs=x, yobs=y,
+                              noise_std=s, batch_size=100, maxiter_cg=50)
+
+    xq, _, _ = _data(N=123, seed=5)
+    mu_ref, sig_ref = model.predict(state, xq, maxiter_cg=50)
+
+    mesh = _mesh(2, ng)
+    mu, sig = mp_predict(model, mp_shard_state(state, mesh), xq, mesh,
+                         batch_size=64, maxiter_cg=50)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_mp_1d_grid():
+    """1-D model-parallel path (four-step sharded FFT under the model)."""
+    x, y, s = _data(N=200, dim=1)
+    ng = 4
+    grids = [jnp.linspace(0.0, 1.0, 40)]
+    model = HIPGP(SqExp(), grids, num_obs=len(x), family="mean-field",
+                  ell_init=0.08, noise2_init=0.01, grid_shards=ng,
+                  dtype=jnp.float64)
+    assert model.edims[0] % (ng * ng) == 0, model.edims
+    state = model.init_state()
+    ref_state = model.batch_solve(state, x, y, s, batch_size=64,
+                                  maxiter_cg=60, mean_solver="cg",
+                                  mean_solver_maxiter=300,
+                                  mean_solver_tol=1e-12)
+    mesh = _mesh(2, ng)
+    got_state = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s,
+                               mesh, batch_size=64, maxiter_cg=60,
+                               mean_solver_maxiter=300, mean_solver_tol=1e-12)
+    # theta1 comes out of a ~kappa=1e4 truncated CG mean solve; sharded
+    # reduction order perturbs iterates at ~1e-5 relative (theta2 is tight)
+    np.testing.assert_allclose(np.asarray(got_state.theta1),
+                               np.asarray(ref_state.theta1),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_state.theta2),
+                               np.asarray(ref_state.theta2),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_mp_integrated_obs():
+    """Line-integral observations through the sharded path (analytic SqExp
+    semi-integrated cross-covariances, `ziggy/kernels.py:223-237`)."""
+    rng = np.random.default_rng(3)
+    N = 150
+    x = jnp.asarray(rng.uniform(0.1, 0.95, (N, 2)))
+    y = jnp.asarray(rng.standard_normal(N))
+    s = jnp.asarray(rng.uniform(0.1, 0.2, N))
+    grids = [jnp.linspace(0.0, 1.0, 9)] * 2
+    ng = 4
+    model = HIPGP(SqExp(), grids, num_obs=N, family="mean-field",
+                  ell_init=0.2, noise2_init=0.01, grid_shards=ng,
+                  support_integrated_obs=True, dtype=jnp.float64)
+    state = model.init_state()
+    ref_state = model.batch_solve(state, x, y, s, batch_size=50,
+                                  maxiter_cg=50, integrated_obs=True,
+                                  mean_solver="cg",
+                                  mean_solver_maxiter=300,
+                                  mean_solver_tol=1e-12)
+    mesh = _mesh(2, ng)
+    got_state = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s,
+                               mesh, batch_size=50, maxiter_cg=50,
+                               integrated_obs=True,
+                               mean_solver_maxiter=300,
+                               mean_solver_tol=1e-12)
+    # theta1 comes out of a ~kappa=1e4 truncated CG mean solve; sharded
+    # reduction order perturbs iterates at ~1e-5 relative (theta2 is tight)
+    np.testing.assert_allclose(np.asarray(got_state.theta1),
+                               np.asarray(ref_state.theta1),
+                               rtol=2e-4, atol=1e-6)
+
+    mu_ref, sig_ref = model.predict(ref_state, x[:40], maxiter_cg=50,
+                                    integrated_obs=True)
+    mu, sig = mp_predict(model, mp_shard_state(got_state, mesh), x[:40],
+                         mesh, maxiter_cg=50, integrated_obs=True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_mp_rejects_unsupported_family():
+    grids = [jnp.linspace(0.0, 1.0, 6)] * 2
+    model = HIPGP(SqExp(), grids, num_obs=10, family="full-rank",
+                  parameterization="standard", dtype=jnp.float64)
+    mesh = _mesh(2, 4)
+    with pytest.raises(ValueError, match="mean-field"):
+        mp_batch_solve(model, model.init_state(), jnp.zeros((4, 2)),
+                       jnp.zeros(4), None, mesh)
