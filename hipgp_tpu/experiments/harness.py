@@ -380,11 +380,12 @@ def fit_predict_and_save(
                    else {}),
             )
 
-        # The 'gram' mean solver runs EAGER (per-stage compilation):
-        # fusing its whole accumulate+solve+ELBO graph into one XLA
-        # program crashes the TPU worker at large M (measured M=128^2);
-        # batch_solve is lax.scan/PCG-compiled internally either way.
-        if mean_solver == "gram":
+        # the gram path runs EAGER — see infer.fit.prefer_eager_batch_solve
+        # for the measured root cause (fused-program slowdown + worker
+        # watchdog kill at M=128^2; repro results/repro/fused_gram_repro.py)
+        from ..infer import prefer_eager_batch_solve
+
+        if prefer_eager_batch_solve(mean_solver):
             state, elbo = solve_fn(state)
         else:
             state, elbo = jax.jit(solve_fn)(state)

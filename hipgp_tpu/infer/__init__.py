@@ -5,6 +5,7 @@ from .fit import (
     batch_predict,
     ell_fit,
     make_train_step,
+    prefer_eager_batch_solve,
     prepare_batches,
     predictive_variance_correction,
     svigp_fit,
@@ -15,6 +16,7 @@ __all__ = [
     "batch_predict",
     "ell_fit",
     "make_train_step",
+    "prefer_eager_batch_solve",
     "prepare_batches",
     "predictive_variance_correction",
     "svigp_fit",

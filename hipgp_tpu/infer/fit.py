@@ -21,7 +21,27 @@ import numpy as np
 import optax
 
 __all__ = ["FitConfig", "svigp_fit", "ell_fit", "batch_predict",
-           "predictive_variance_correction", "make_train_step", "prepare_batches"]
+           "predictive_variance_correction", "make_train_step",
+           "prepare_batches", "prefer_eager_batch_solve"]
+
+
+def prefer_eager_batch_solve(mean_solver: str) -> bool:
+    """True when ``model.batch_solve`` should run eagerly (per-stage
+    compilation) instead of under one outer ``jax.jit``.
+
+    Root cause, measured on v5e (repro: ``results/repro/fused_gram_repro.py``):
+    fusing the gram-mean-solver's accumulate + K+A PCG + ELBO-recompute
+    passes into ONE XLA program at M=128^2 (M'=65k), N=278k executes 3-6x
+    slower than per-stage dispatch (2-5 min vs ~47 s) and, once
+    ``maxiter_cg`` pushes the single-dispatch wall time further (20 vs 10),
+    the runtime kills the worker with ``UNAVAILABLE: TPU device error``
+    (kernel-independent; completes without the ELBO pass or at
+    maxiter_cg<=10).  The per-stage path is already internally jitted
+    (``lax.scan`` accumulation, PCG while-loops), so eager execution costs
+    only a handful of dispatch latencies and avoids both the pathology and
+    the minutes-long whole-program compile.
+    """
+    return mean_solver == "gram"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -365,10 +385,7 @@ def ell_fit(
             **solve_kwargs,
         )
 
-    # The 'gram' mean solver runs eagerly (per-stage compilation): one fused
-    # accumulate+solve+ELBO XLA program crashes the TPU worker at large M
-    # (see models/hipgp.py batch_solve and experiments/harness.py)
-    if solve_kwargs.get("mean_solver") == "gram":
+    if prefer_eager_batch_solve(solve_kwargs.get("mean_solver", "dense")):
         solve_at = solve_at_eager
     else:
         solve_at = jax.jit(solve_at_eager)

@@ -118,3 +118,14 @@ def test_svgp_requires_noise():
     y = jnp.zeros(10)
     with pytest.raises(ValueError, match="noise"):
         m.elbo_and_grads(st, x, y, None)
+
+
+def test_prefer_eager_batch_solve_policy():
+    """The gram mean solver must route through per-stage (eager) execution:
+    the fused program is slower and gets watchdog-killed at scale on TPU
+    (RESULTS section 9; repro results/repro/fused_gram_repro.py)."""
+    from hipgp_tpu.infer import prefer_eager_batch_solve
+
+    assert prefer_eager_batch_solve("gram")
+    assert not prefer_eager_batch_solve("dense")
+    assert not prefer_eager_batch_solve("cg")
