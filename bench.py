@@ -1,23 +1,120 @@
 """Headline benchmark: the O(M log M) whitening solve K^{-1/2}v at one
-million inducing points on a single chip.
+million inducing points on a single chip — with a roofline account and
+on-chip numerics regression guards.
 
 Protocol mirrors the reference's pcg-vs-cholesky experiment
 (`experiments-hip-gp/run_pcg_vs_cholesky.py`): time ``gram_solve`` (PCG with
-circulant preconditioner + R^T multiply) on a 1-D grid of M inducing points,
-batch of B right-hand sides, Matern-5/2 kernel; compare against the dense
-Cholesky whitening path.  Cholesky is measured at a feasible M and
-extrapolated by its M^3 factorization cost to the benchmark M (the reference
-likewise skips Cholesky above 5e4 points, `run_pcg_vs_cholesky.py:69,134`).
+circulant preconditioner + R^T multiply, 20 fixed iterations) on a 1-D grid
+of M = 2^20 inducing points, batch of 8 right-hand sides, Matern-5/2.
 
-Prints ONE JSON line:
-  {"metric": "gram_solve_m1m_b8_ms", "value": <ms>, "unit": "ms",
-   "vs_baseline": <cholesky_extrapolated_time / our_time>}
+Prints ONE JSON line.  Fields beyond the driver contract
+(metric/value/unit/vs_baseline):
+
+* ``vs_baseline`` — MEASURED speedup vs the dense Cholesky whitening at the
+  largest M where Cholesky is feasible on this chip (same M both paths; no
+  extrapolation).
+* ``roofline_frac`` — minimum-HBM-traffic model / measured time.  The solve
+  runs 2*maxiter+2 circulant applies; each apply's floor is one read+write
+  of the packed complex buffer per FFT direction plus the real in/out.
+* ``fft_bound_ms`` — applies x the measured standalone XLA fwd+scale+inv
+  FFT pair at the same shape: the bound ACHIEVABLE with XLA's FFT kernel.
+  The solve sitting at or below this bound means the remaining gap to the
+  HBM roofline is inside XLA's FFT implementation, not our orchestration.
+* ``guards`` — on-chip numerics regression checks (f32 device vs f64 numpy
+  oracles) for the three measured v5e cliffs encoded in `ops/bttb.py`:
+  the MXU matmul-basis transform, the long-axis packed-FFT path, and the
+  batched-FFT corruption guard (FFT_SAFE_BATCH chunking).  An XLA update
+  silently moving a cliff flips ``guards.all_pass`` to false.
 """
 import json
-import sys
+import math
 import time
 
 import numpy as np
+
+HBM_BYTES_PER_S = 819e9  # v5e HBM bandwidth
+GUARD_RTOL = 1e-4  # f32-vs-f64 oracle; the corruption mode is ~0.3 rel
+
+
+def chain_time(f, x, reps=5, warm=3):
+    """Chained-input timing: distinct work per rep (the runtime caches
+    identical dispatches; fresh buffers run far off steady state)."""
+    import jax
+
+    out = jax.block_until_ready(f(x))
+    for _ in range(warm):
+        x = x * (1.0 + 1e-9)
+        out = jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = x * (1.0 + 1e-9)
+        out = f(x)
+    out = jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def numpy_circulant_apply_oracle(grid_h, dims, edims, ell, jitter, v):
+    """f64 numpy oracle for matmul_by_K on a unit-spaced SqExp grid:
+    wrapped-lag embedding -> rfftn eigs (clamped) -> apply -> crop."""
+    coords = []
+    for L, h in zip(edims, grid_h):
+        j = np.arange(L)
+        coords.append(np.minimum(j, L - j) * h)
+    mesh = np.meshgrid(*coords, indexing="ij")
+    d2 = sum((m / ell) ** 2 for m in mesh)
+    c = np.exp(-0.5 * d2)
+    c.flat[0] += jitter
+    eigs = np.maximum(np.fft.rfftn(c), 1e-6)
+    B = v.shape[0]
+    x = v.reshape((B,) + dims).astype(np.float64)
+    pad = [(0, 0)] + [(0, e - d) for d, e in zip(dims, edims)]
+    x = np.pad(x, pad)
+    y = np.fft.irfftn(eigs * np.fft.rfftn(x, axes=tuple(range(1, len(edims) + 1))),
+                      s=edims, axes=tuple(range(1, len(edims) + 1)))
+    crop = tuple([slice(None)] + [slice(0, d) for d in dims])
+    return y[crop].reshape(B, -1)
+
+
+def run_guards(jax, jnp):
+    """On-chip f32 transforms vs f64 numpy oracles; returns dict of relative
+    errors (each must stay ~1e-6; the failure mode being guarded is ~0.3)."""
+    from hipgp_tpu.ops import make_spectrum, matmul_by_K
+    from hipgp_tpu.ops.bttb import FFT_SAFE_BATCH
+
+    guards = {}
+    rng = np.random.default_rng(7)
+
+    def check(name, dims, batch, ell_spacings=1.5):
+        grids = [jnp.linspace(0.0, 1.0, m, dtype=jnp.float32) for m in dims]
+        hs = [1.0 / (m - 1) for m in dims]
+        ell = ell_spacings * hs[0]
+        kf = lambda a, b: jnp.exp(
+            -0.5 * jnp.sum(((a[:, None, :] - b[None, :, :]) / ell) ** 2, -1)
+        )
+        spec = make_spectrum(grids, kf, jitter=1e-3)
+        v = rng.standard_normal((batch, spec.M)).astype(np.float32)
+        got = np.asarray(
+            jax.jit(lambda v: matmul_by_K(spec, v))(jnp.asarray(v))
+        )
+        want = numpy_circulant_apply_oracle(hs, spec.dims, spec.edims, ell,
+                                            1e-3, v)
+        rel = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
+        guards[name] = rel
+        return spec
+
+    # 1. MXU matmul-basis transform (all embedded axes <= 512), large batch
+    check("matmul_2d_b1000_rel", (65, 50), 1000)
+    # 2. long-axis packed-FFT path, 1-D (the headline regime), small batch
+    check("fft_1d_long_rel", (1 << 17,), 8)
+    # 3. batched multi-dim FFT corruption guard: a 2-D grid past the matmul
+    #    limit at batch >> FFT_SAFE_BATCH exercises the chunked path
+    spec3 = check("fft_2d_chunked_b1000_rel", (300, 5), 1000)
+    assert max(spec3.edims) > 512, spec3.edims  # really on the FFT path
+    guards["fft_safe_batch"] = FFT_SAFE_BATCH
+    guards["all_pass"] = bool(
+        all(v < GUARD_RTOL for k, v in guards.items() if k.endswith("_rel"))
+    )
+    return guards
 
 
 def main():
@@ -28,7 +125,7 @@ def main():
     import jax.numpy as jnp
 
     from hipgp_tpu.kernels import Matern
-    from hipgp_tpu.ops import gram_solve, make_spectrum, cholesky_whiten, dense_gram
+    from hipgp_tpu.ops import cholesky_whiten, dense_gram, gram_solve, make_spectrum
 
     dtype = jnp.float32
     M = 1 << 20  # 1,048,576 inducing points
@@ -47,43 +144,57 @@ def main():
 
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((B, M)), dtype)
-
-    out = jax.block_until_ready(solve(b))  # compile
-    reps = 5
-    # chained warmups: first executions on fresh buffers run far from
-    # steady state through the remote-dispatch layer
-    for _ in range(3):
-        b = b + 1e-9 * out[:, :M]
-        out = jax.block_until_ready(solve(b))
-    # chain the input through the output so every rep is distinct work
-    # (identical dispatches can be cached by the runtime)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        b = b + 1e-9 * out[:, :M]
-        out = solve(b)
-    out = jax.block_until_ready(out)
-    ours_ms = (time.perf_counter() - t0) / reps * 1e3
+    ours_s, out = chain_time(solve, b, reps=5)
+    ours_ms = ours_s * 1e3
     assert bool(jnp.all(jnp.isfinite(out))), "solve produced non-finite output"
 
-    # --- Cholesky reference at a feasible size, extrapolated by M^3 ---
-    Mc = 8192
+    # --- roofline account -------------------------------------------------
+    # applies: init precond (1) + per-iteration matvec+precond (2*MAXITER)
+    # + final R^T (1); each apply = packed-complex fwd FFT + scale + inv FFT
+    applies = 2 * MAXITER + 2
+    L = 2 * M  # embedded (pow2) length
+    complex_bytes = (B // 2) * L * 8
+    real_bytes = B * M * 4
+    # floor: read+write the complex buffer per FFT direction, plus the real
+    # embed read and crop write (scale fuses into the FFTs)
+    bytes_per_apply = 4 * complex_bytes + 2 * real_bytes
+    min_bytes = applies * bytes_per_apply
+    roofline_frac = min_bytes / HBM_BYTES_PER_S / ours_s
+    eff_bw_gbs = min_bytes / ours_s / 1e9
+
+    # achievable bound: the standalone XLA fwd+scale+inv pair at this shape
+    w = jnp.asarray(rng.uniform(0.5, 2.0, L), jnp.float32)
+    zr = jnp.asarray(rng.standard_normal((2, B // 2, L)), jnp.float32)
+
+    @jax.jit
+    def fft_pair(zr):
+        z = jax.lax.complex(zr[0], zr[1])
+        return jnp.fft.ifft(w * jnp.fft.fft(z, axis=-1), axis=-1).real
+
+    pair_s, _ = chain_time(fft_pair, zr, reps=5)
+    fft_bound_ms = applies * pair_s * 1e3
+
+    # --- measured Cholesky baseline at the same M (no extrapolation) -----
+    Mc = 1 << 14  # largest dense-Cholesky size that is comfortably feasible
     gridc = jnp.linspace(0.0, 1.0, Mc, dtype=dtype)
+    paramsc = (1.0, 5e-5 * (M / Mc))  # same ell-in-grid-spacings conditioning
+    kfc = lambda a, b: kern(a, b, paramsc)
     bc = jnp.asarray(rng.standard_normal((B, Mc)), dtype)
 
     @jax.jit
     def chol_solve(bc):
-        K = dense_gram([gridc], kfun, jitter=1e-3)
+        K = dense_gram([gridc], kfc, jitter=1e-3)
         return cholesky_whiten(K, bc)
 
-    outc = jax.block_until_ready(chol_solve(bc))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        bc = bc + 1e-9 * outc
-        outc = chol_solve(bc)
-    outc = jax.block_until_ready(outc)
-    chol_ms = (time.perf_counter() - t0) / reps * 1e3
-    # factorization-dominated extrapolation to M points
-    chol_extrap_ms = chol_ms * (M / Mc) ** 3
+    @jax.jit
+    def ours_at_mc(bc):
+        spec = make_spectrum([gridc], kfc, jitter=1e-3)
+        return gram_solve(spec, bc, maxiter=MAXITER, tol=0.0, fixed_iters=True)
+
+    chol_s, _ = chain_time(chol_solve, bc, reps=5)
+    ours_mc_s, _ = chain_time(ours_at_mc, bc, reps=5)
+
+    guards = run_guards(jax, jnp)
 
     print(
         json.dumps(
@@ -91,7 +202,20 @@ def main():
                 "metric": "gram_solve_m1m_b8_ms",
                 "value": round(ours_ms, 3),
                 "unit": "ms",
-                "vs_baseline": round(chol_extrap_ms / ours_ms, 1),
+                # measured at M=16384, same kernel conditioning, same batch
+                "vs_baseline": round(chol_s / ours_mc_s, 1),
+                "baseline_kind": f"measured cholesky whiten at M={Mc}",
+                "cholesky_m16k_ms": round(chol_s * 1e3, 3),
+                "ours_m16k_ms": round(ours_mc_s * 1e3, 3),
+                "applies": applies,
+                "per_apply_ms": round(ours_ms / applies, 3),
+                "min_bytes_gb": round(min_bytes / 1e9, 2),
+                "roofline_frac": round(roofline_frac, 4),
+                "eff_bw_gbs": round(eff_bw_gbs, 1),
+                "fft_pair_ms": round(pair_s * 1e3, 3),
+                "fft_bound_ms": round(fft_bound_ms, 1),
+                "at_fft_bound": bool(ours_ms <= 1.15 * fft_bound_ms),
+                "guards": guards,
             }
         )
     )
