@@ -205,6 +205,25 @@ def evaluate_and_save(
             )
             viz.plot_qq(z, path=os.path.join(odir, "qq.pdf"))
 
+    if (
+        make_plots
+        and do_integrated_predictions
+        and xtest is not None
+        and np.ndim(xtest) == 2
+        and np.shape(xtest)[1] == 3
+        and "etest" in pdict
+    ):
+        # dust-map 3-D/2-D posterior scatter figures
+        # (`experiments-hip-gp/exp_utils.py:74-252`)
+        zmid = float(np.median(np.asarray(xtest)[:, 2]))
+        viz.plot_domain_result(
+            odir,
+            {"xtest": np.asarray(xtest), "etest": pdict["etest"],
+             "emu_test": pdict["emu_test"], "esig_test": pdict["esig_test"]},
+            slice_center=zmid,
+            slice_halfwidth=0.05 * (np.ptp(np.asarray(xtest)[:, 2]) + 1e-12),
+        )
+
     if make_plots and "fmu_grid" in pdict and grid_shape is not None:
         extent = grid_extent or (0, 1, 0, 1)
         viz.plot_posterior_grid(

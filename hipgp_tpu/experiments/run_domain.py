@@ -92,6 +92,11 @@ def main(argv=None):
     p.add_argument("--ntest", type=int, default=500)
     p.add_argument("--eval-grid", type=int, default=20,
                    help="xy eval grid size at the z=0 slice")
+    p.add_argument("--snapshot", default=None,
+                   help="latte-format npz SPH snapshot: build the ground-truth"
+                        " density grid by native deposition (yt-free parity"
+                        " with genDustDensity, experiment_util_domain.py:301)")
+    p.add_argument("--deposit-method", default="sph", choices=["sph", "cic"])
     p.add_argument("--output-dir", default="./output-domain")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
@@ -149,6 +154,26 @@ def main(argv=None):
     zmid = float((lo[2] + hi[2]) / 2)
     xgrid = np.column_stack([gx.ravel(), gy.ravel(), np.full(gx.size, zmid)])
     fgrid = rho(xgrid) if rho is not None else None
+
+    if fgrid is None and args.snapshot and os.path.exists(args.snapshot):
+        # ground-truth density by native SPH/CIC deposition of the snapshot
+        # (yt-free genDustDensity, `experiment_util_domain.py:301-367`)
+        from .dust_density import gen_dust_density
+
+        nz_slab = max(args.nz, 2)
+        cube = gen_dust_density(
+            x, args.eval_grid, args.eval_grid, nz_slab,
+            snapshot_path=args.snapshot, method=args.deposit_method,
+        )
+        # the deposition grid spans [-max|x|, max|x|]^3; sample the slab
+        # containing the eval slice and the eval-grid xy cells
+        scales = np.max(np.abs(x), axis=0)
+        def _cell(coords, scale, n):
+            return np.clip(((coords + scale) / (2 * scale) * n).astype(int), 0, n - 1)
+        iz = _cell(np.array([zmid]), scales[2], nz_slab)[0]
+        ixs = _cell(xgrid[:, 0], scales[0], args.eval_grid)
+        iys = _cell(xgrid[:, 1], scales[1], args.eval_grid)
+        fgrid = cube[ixs, iys, iz]
 
     cfg = FitConfig(
         epochs=args.epochs, batch_size=args.batch_size,

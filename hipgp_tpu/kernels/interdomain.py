@@ -176,7 +176,8 @@ class DoublyDiagInterpolator:
 
     def __call__(self, x: jnp.ndarray, params) -> jnp.ndarray:
         sig2, ell = params
-        dists = jnp.sqrt(jnp.sum((x / ell) ** 2, axis=-1))
+        s2 = jnp.sum((x / ell) ** 2, axis=-1)
+        dists = jnp.sqrt(s2)
         lower = jnp.clip(
             jnp.sum(dists[:, None] > self.distance_grid[None, :], axis=-1) - 1,
             0,
@@ -184,7 +185,12 @@ class DoublyDiagInterpolator:
         )
         diff = dists - self.distance_grid[lower]
         ivals = self.knn[lower] + self.slopes[lower] * diff
-        ell2 = jnp.asarray(ell, dists.dtype) ** 2
-        if jnp.ndim(ell2) > 0:  # ARD: reference scales by scalar ell^2; use mean
-            ell2 = jnp.mean(ell2)
-        return ell2 * sig2 * ivals
+        # Exact ARD reduction: for stationary k, k(a x, b x) = k1(|a-b| s) with
+        # s = ||x/ell||, so K~(x,x) = sig2 ||x||^2 h(s) = sig2 (||x||^2/s^2) g(s)
+        # where g is the unit-parameter table.  The per-point scale ||x||^2/s^2
+        # is the effective ell^2 along the ray direction; it reduces to ell^2
+        # exactly when ell is scalar.  (The reference handles only scalar ell,
+        # `ziggy/kernels.py:183-218`.)
+        x2 = jnp.sum(x * x, axis=-1)
+        scale = x2 / jnp.maximum(s2, 1e-30)  # g(0)=0, so the x=0 guard is inert
+        return scale * sig2 * ivals

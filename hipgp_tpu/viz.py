@@ -24,6 +24,8 @@ __all__ = [
     "plot_posterior_grid",
     "plot_qq",
     "plot_zscore_histogram",
+    "plot_domain_result",
+    "plot_error_boxes",
 ]
 
 
@@ -125,6 +127,71 @@ def plot_zscore_histogram(zscores, name="model", path=None):
         fig.savefig(path, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def plot_domain_result(odir, pdict, slice_center=0.0, slice_halfwidth=0.05):
+    """3-D posterior scatter figures + 2-D z-slice figures for the dust map.
+
+    Parity: `experiments-hip-gp/exp_utils.py:74-252` (plot_domain_rslt) — for
+    each of {posterior mean, posterior std, residual, relative error, z-score}
+    of the integrated observable e, a 3-D scatter over all test points
+    (predict-<q>-test-3D.pdf) and a 2-D scatter of the slice
+    |z - slice_center| <= slice_halfwidth (predict-<q>-test-2D.pdf).
+
+    pdict keys: xtest (N,3), etest, emu_test, esig_test (all (N,)).
+    Quantities lacking data are skipped (the reference wraps this in a bare
+    try/except; here it's explicit).
+    """
+    xtest = np.asarray(pdict["xtest"])
+    if xtest.ndim != 2 or xtest.shape[1] != 3:
+        return []
+    if not all(k in pdict and pdict[k] is not None for k in ("etest", "emu_test", "esig_test")):
+        return []
+    etest = np.asarray(pdict["etest"]).reshape(-1)
+    emu = np.asarray(pdict["emu_test"]).reshape(-1)
+    esig = np.asarray(pdict["esig_test"]).reshape(-1)
+    eres = emu - etest
+    with np.errstate(divide="ignore", invalid="ignore"):
+        erel = eres / etest
+        ez = -eres / esig
+    quantities = [
+        ("emu", emu, "Posterior mean of $e$"),
+        ("esig", esig, "Posterior error in $e$"),
+        ("eres", eres, "Residual of $e$"),
+        ("erel", erel, "Relative error in $e$"),
+        ("ez", ez, "Z-score of $e$"),
+    ]
+    in_slice = np.abs(xtest[:, 2] - slice_center) <= slice_halfwidth
+    written = []
+    for tag, vals, label in quantities:
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        im = ax.scatter(xtest[:, 0], xtest[:, 1], xtest[:, 2], c=vals, s=20)
+        cbar = fig.colorbar(im, location="left")
+        cbar.set_label(label)
+        ax.set_xlabel(r"$x$ (kpc)")
+        ax.set_ylabel(r"$y$ (kpc)")
+        ax.set_zlabel(r"$z$ (kpc)")
+        ax.set_box_aspect([1, 1, 1])
+        p3 = os.path.join(odir, f"predict-{tag}-test-3D.pdf")
+        fig.savefig(p3, dpi=300, transparent=True)
+        plt.close(fig)
+        written.append(p3)
+
+        if in_slice.any():
+            fig, ax = plt.subplots(figsize=(6, 6))
+            im = ax.scatter(xtest[in_slice, 0], xtest[in_slice, 1], c=vals[in_slice])
+            cbar = fig.colorbar(im)
+            cbar.set_label(label)
+            ax.set_xlabel(r"$x$ (kpc)")
+            ax.set_ylabel(r"$y$ (kpc)")
+            ax.set_aspect("equal")
+            fig.tight_layout()
+            p2 = os.path.join(odir, f"predict-{tag}-test-2D.pdf")
+            fig.savefig(p2, dpi=300, transparent=True)
+            plt.close(fig)
+            written.append(p2)
+    return written
 
 
 def plot_error_boxes(error_df, error_types=None, path=None):

@@ -80,6 +80,48 @@ def test_run_domain_synthetic(tmp_path):
     assert "emu_test" in preds.files  # integrated predictions
     assert "fmu_grid" in preds.files  # latent field slice
     assert np.all(np.isfinite(preds["emu_test"]))
+    # dust-map posterior scatter figures (exp_utils.py:74-252 parity)
+    assert (odir / "predict-emu-test-3D.pdf").exists()
+    assert (odir / "predict-ez-test-3D.pdf").exists()
+
+
+def test_run_domain_with_snapshot_truth(tmp_path):
+    """--snapshot builds the ground-truth grid by native deposition."""
+    rs = np.random.RandomState(3)
+    n = 300
+    snap = tmp_path / "latte.npz"
+    np.savez(
+        snap,
+        x=rs.uniform(-1, 1, n), y=rs.uniform(-1, 1, n), z=rs.uniform(-1, 1, n),
+        density=rs.uniform(0.5, 1.5, n),
+        hydrogenneutralfraction=rs.uniform(0, 1, n),
+        massfraction=rs.uniform(0.05, 0.3, (n, 2)),
+        metallicitytotal=rs.uniform(-1, 0.5, n),
+        smoothlength=rs.uniform(0.2, 0.5, n),
+        mass=rs.uniform(0.5, 1.5, n),
+    )
+    # reference-format observation table (no density column -> fgrid must
+    # come from the snapshot deposition)
+    import pandas as pd
+    m = 240
+    xyz = rs.uniform(-1, 1, (m, 3))
+    xyz = xyz[np.linalg.norm(xyz, axis=1) > 0.2]
+    pd.DataFrame({
+        "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+        "e": np.abs(rs.randn(len(xyz))) + 0.1,
+        "e_err": 0.05 * np.ones(len(xyz)),
+    }).to_csv(tmp_path / "obs.dat", sep=" ", index=False)
+    run_domain.main([
+        "--data-path", str(tmp_path / "obs.dat"),
+        "--snapshot", str(snap),
+        "--ntest", "40", "--nx", "6", "--nz", "4",
+        "--ell", "0.4", "--maxiter-cg", "10", "--eval-grid", "6",
+        "--batch-size", "100", "--epochs", "2",
+        "--output-dir", str(tmp_path), "--f64",
+    ])
+    preds = np.load(tmp_path / "domain-mean-field" / "predictions.npz")
+    assert "fgrid" in preds.files  # snapshot-derived latent truth present
+    assert np.all(np.isfinite(preds["fgrid"]))
 
 
 def test_run_ukhousing_synthetic(tmp_path):

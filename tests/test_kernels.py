@@ -135,6 +135,23 @@ def test_doubly_diag_scaling_invariance():
         np.testing.assert_allclose(got, want, rtol=2e-3)
 
 
+def test_doubly_diag_ard_matches_quadrature(rng):
+    """ARD oracle: with ell a (D,) vector, the interpolator's per-point scale
+    ||x||^2/||x/ell||^2 must reproduce direct 2-D quadrature of the ARD kernel
+    (exact reduction k(ax,bx) = k1(|a-b| ||x/ell||))."""
+    k = SqExp()
+    interp = DoublyDiagInterpolator(k, N=300, dmax=10.0)
+    ell = jnp.asarray([0.3, 0.9])
+    sig2 = 1.7
+    x = _pts(rng, 6) + 0.5
+    got = np.asarray(interp(x, (sig2, ell)))
+    want = k_doubly_diag_quad(
+        lambda a, b: np.asarray(k(jnp.asarray(a), jnp.asarray(b), (sig2, ell))),
+        np.asarray(x),
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
 def test_sqexp_derivative_closed_forms_match_autodiff(rng):
     sig2, ell = 1.3, 0.6
     x = jnp.asarray(rng.uniform(-1, 1, 4))
