@@ -326,6 +326,11 @@ MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
 # so there is no HBM-fusion win to capture, and Mosaic lowers the blocked
 # rank-3 dots poorly.  Kept as an opt-in alternative.
 USE_PALLAS_TRANSFORM = False
+# The 1-D long-axis circulant apply DOES win from fusion: the three-stage
+# radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) measured
+# 2.32 ms vs 2.78 ms for the XLA-FFT apply at L = 2^21, packed batch-4
+# (17%), 4.7e-7 agreement — on by default for supported pow2 lengths.
+USE_RADIX_FFT = True
 
 
 _BASIS_CACHE: dict = {}
@@ -519,10 +524,26 @@ def _fft_apply_core(
     wfull = _full_weights(weights, edims[-1])
     if B % 2:
         x = jnp.pad(x, [(0, 1)] + [(0, 0)] * nd)
-    z = jax.lax.complex(x[0::2], x[1::2])
-    w = jnp.fft.ifftn(wfull * jnp.fft.fftn(z, axes=axes), axes=axes)
-    y = jnp.stack([w.real, w.imag], axis=1).reshape((-1,) + edims)[:B]
-    y = y.astype(v.dtype)
+
+    use_radix = False
+    if USE_RADIX_FFT and nd == 1 and jax.default_backend() == "tpu":
+        from .radix_fft import radix_supported
+
+        use_radix = radix_supported(edims[0])
+    if use_radix:
+        # fused Pallas three-stage DFT: 17% faster than XLA's FFT at the
+        # headline L = 2^21 shape, 4.7e-7 agreement (see ops/radix_fft.py)
+        from .radix_fft import fused_circulant_apply, make_plan, permute_weights
+
+        plan = make_plan(edims[0], v.dtype)
+        dperm = permute_weights(wfull, plan)
+        yr, yi = fused_circulant_apply(x[0::2], x[1::2], dperm, plan)
+        y = jnp.stack([yr, yi], axis=1).reshape((-1,) + edims)[:B]
+    else:
+        z = jax.lax.complex(x[0::2], x[1::2])
+        w = jnp.fft.ifftn(wfull * jnp.fft.fftn(z, axes=axes), axes=axes)
+        y = jnp.stack([w.real, w.imag], axis=1).reshape((-1,) + edims)[:B]
+        y = y.astype(v.dtype)
 
     if out_expanded:
         return y.reshape((B, spec.Mprime))

@@ -1,0 +1,328 @@
+"""Fused radix-2^k circulant apply: MXU three-stage DFT with a Pallas core.
+
+The headline HIP-GP op is the circulant apply y = F^{-1}(d * F x) on a long
+power-of-two axis (L = 2 M - 2 up to 2^21 for the M = 2^20 whitening solve,
+reference protocol `experiments-hip-gp/run_pcg_vs_cholesky.py`).  XLA's TPU
+FFT runs it at ~45-90 GB/s effective — ~10x off the HBM roofline — and any
+XLA-level composition of smaller stages materializes every intermediate in
+HBM (measured: XLA FFT 7.6 ms, einsum three-stage 7.0-7.2 ms per batch-8
+unpacked apply at L = 2^21; packed batch-4 XLA FFT apply 2.8 ms).
+
+This module keeps the middle of the transform on-chip.  Factor L = A*B*C
+(C = 128 lanes, B sublanes, A the outer einsum factor) and decompose the DFT
+as Cooley-Tukey three-stage with twiddles:
+
+  X[ka + A*kb + AB*kc] =
+    sum_c W_C[kc,c] T2[kb,c] sum_b W_B[kb,b] T1[ka, b*C+c] sum_a W_A[ka,a] x[a,b,c]
+
+where T1[ka,m] = exp(-2 pi i ka m / L), T2[kb,c] = exp(-2 pi i kb c / (BC)).
+The circulant apply never needs natural output order: the diagonal d is
+pre-permuted into stage order (a pure reshape/transpose for pow2 factors)
+and the inverse transform consumes stage order directly.  The apply becomes
+
+  stage F1 (XLA einsum over a)  ->  PALLAS KERNEL  ->  stage I1 (XLA einsum)
+
+with the Pallas kernel fusing, per (ka, batch) tile of shape (B, C):
+T1 multiply (phases computed in-kernel from a resident theta row — zero
+twiddle traffic), W_B matmul, T2 multiply, W_C matmul, diagonal multiply,
+conj W_C matmul, conj T2, conj W_B, conj T1 — four Karatsuba complex MXU
+matmuls (3 real dots each) and the VPU elementwise chain, one HBM read +
+one write for the whole middle.  The d tile is reused across the batch
+(grid iterates the batch fastest).
+
+Precision (measured at L = 2^21 vs the on-chip FFT): HIGHEST 4.7e-7,
+DEFAULT ~4e-3.  Everything runs at HIGHEST (Mosaic supports only
+DEFAULT/HIGHEST dot precisions in-kernel; DEFAULT's 4e-3 is above the f32
+truncated-PCG floor).  Measured end-to-end: 2.32 ms vs 2.78 ms for the XLA
+FFT apply at the headline shape (packed batch-4, L = 2^21) — 17% faster
+with 4.7e-7 agreement.
+
+Parity reference: behavioral twin of `ziggy/misc/toeplitz_tensor.py:70-125`
+(_matmul_by_K / _matmul_by_Cinv FFT applies), rebuilt as a TPU kernel.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RadixPlan", "make_plan", "permute_weights", "fused_circulant_apply",
+           "radix_supported"]
+
+_LANE = 128
+HIGHEST = jax.lax.Precision.HIGHEST
+HIGH = jax.lax.Precision.HIGH
+
+
+def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
+    """L = A*B*C with C = 128, B in [8,128], A in [8,2048], all pow2."""
+    if L <= 0 or L & (L - 1):
+        return None
+    C = _LANE
+    rest = L // C
+    if rest * C != L:
+        return None
+    # prefer B = 128, shrink toward 8; A takes the remainder
+    for B in (128, 64, 32, 16, 8):
+        if rest % B == 0:
+            A = rest // B
+            if 8 <= A <= 2048:
+                return A, B, C
+    return None
+
+
+def radix_supported(L: int) -> bool:
+    return _factorize(L) is not None
+
+
+def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    return np.cos(ang), np.sin(ang)
+
+
+class RadixPlan(NamedTuple):
+    L: int
+    A: int
+    B: int
+    C: int
+    wac: jnp.ndarray   # (A, A) stage-1 DFT cos
+    was: jnp.ndarray   # (A, A) sin
+    wasum: jnp.ndarray  # cos + sin (Karatsuba third factor)
+    wbc: jnp.ndarray   # (B, B)
+    wbs: jnp.ndarray
+    wbsum: jnp.ndarray
+    wcc: jnp.ndarray   # (C, C)
+    wcs: jnp.ndarray
+    wcsum: jnp.ndarray
+    theta: jnp.ndarray  # (B, C) T1 unit phase: -2 pi (b*C + c) / L
+    t2c: jnp.ndarray   # (B, C) T2 cos
+    t2s: jnp.ndarray   # (B, C) sin
+
+
+@functools.lru_cache(maxsize=16)
+def _plan_arrays(L: int):
+    A, B, C = _factorize(L)
+    mats = [_dft_mats(n) for n in (A, B, C)]
+    m = (np.arange(B)[:, None] * C + np.arange(C)[None, :]).astype(np.float64)
+    theta = -2.0 * np.pi * m / L
+    ang2 = -2.0 * np.pi * np.outer(np.arange(B), np.arange(C)) / (B * C)
+    return A, B, C, mats, theta, np.cos(ang2), np.sin(ang2)
+
+
+def make_plan(L: int, dtype=jnp.float32) -> RadixPlan:
+    """Plan tables as HOST numpy arrays: safe to close over across jit
+    traces (they enter each trace as constants), unlike device arrays."""
+    A, B, C, mats, theta, t2c, t2s = _plan_arrays(L)
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    j = lambda a: np.asarray(a, npdt)
+    (wac, was), (wbc, wbs), (wcc, wcs) = mats
+    return RadixPlan(
+        L, A, B, C,
+        j(wac), j(was), j(wac + was),
+        j(wbc), j(wbs), j(wbc + wbs),
+        j(wcc), j(wcs), j(wcc + wcs),
+        j(theta), j(t2c), j(t2s),
+    )
+
+
+def permute_weights(d_natural: jnp.ndarray, plan: RadixPlan) -> jnp.ndarray:
+    """Natural-order spectrum (L,) -> kernel stage order (B, A, C), with the
+    1/L inverse-transform scale folded in.  k = ka + A*kb + AB*kc means the
+    natural layout viewed (C, B, A) C-order transposes to (B, A, C) — kb
+    leading so each kernel tile is a (B, R, C) slab of ka rows."""
+    d = d_natural.reshape(plan.C, plan.B, plan.A).transpose(1, 2, 0)
+    return d / plan.L
+
+
+def _cmul(xr, xi, cr, ci):
+    return xr * cr - xi * ci, xr * ci + xi * cr
+
+
+def _cdot(ar, ai, asum, br, bi, prec):
+    """Karatsuba complex matmul (ar + i ai) @ (br + i bi), asum = ar + ai
+    precomputed: 3 real MXU dots instead of 4."""
+    dot = functools.partial(
+        jnp.dot, precision=prec
+    )
+    t1 = dot(ar, br)
+    t2 = dot(ai, bi)
+    t3 = dot(asum, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cdot_r(ar, ai, br, bi, bsum, prec):
+    """Right-multiply variant: (ar + i ai) @ (br + i bi), bsum = br + bi."""
+    dot = functools.partial(
+        jnp.dot, precision=prec
+    )
+    t1 = dot(ar, br)
+    t2 = dot(ai, bi)
+    t3 = dot(ar + ai, bsum)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _make_middle_kernel(prec, R, B, C):
+    def _middle_kernel(theta_ref, t2c_ref, t2s_ref, wbc_ref, wbs_ref,
+                       wbsum_ref, wcc_ref, wcs_ref, wcsum_ref, d_ref,
+                       yr_ref, yi_ref, zr_ref, zi_ref):
+        import jax.experimental.pallas as pl
+
+        dt = theta_ref.dtype
+        a0 = pl.program_id(0).astype(dt) * R
+        # T1 phases for the R ka-rows of this slab: ang[b, r, c] = ka * theta[b, c]
+        ka = a0 + jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1).astype(dt)
+        ang = theta_ref[:].reshape(B, 1, C) * ka
+        c1 = jnp.cos(ang)
+        s1 = jnp.sin(ang)
+        t2c = t2c_ref[:].reshape(B, 1, C)
+        t2s = t2s_ref[:].reshape(B, 1, C)
+        yr = yr_ref[0]  # (B, R, C): b sublane-major, c lanes, free reshapes
+        yi = yi_ref[0]
+        yr, yi = _cmul(yr, yi, c1, s1)                                 # T1
+        flat = lambda t: t.reshape(B, R * C)
+        unflat = lambda t: t.reshape(B, R, C)
+        yr, yi = _cdot(wbc_ref[:], wbs_ref[:], wbsum_ref[:],
+                       flat(yr), flat(yi), prec)                       # F2 over b
+        yr, yi = _cmul(unflat(yr), unflat(yi), t2c, t2s)               # T2
+        rows = lambda t: t.reshape(B * R, C)
+        yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], wcs_ref[:],
+                         wcsum_ref[:], prec)                           # F3 over c
+        d = d_ref[:]
+        yr = unflat(yr) * d
+        yi = unflat(yi) * d                            # diagonal (1/L folded)
+        yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], -wcs_ref[:],
+                         wcc_ref[:] - wcs_ref[:], prec)                # I3
+        yr, yi = _cmul(unflat(yr), unflat(yi), t2c, -t2s)              # conj T2
+        yr, yi = _cdot(wbc_ref[:], -wbs_ref[:], wbc_ref[:] - wbs_ref[:],
+                       flat(yr), flat(yi), prec)                       # I2
+        zr, zi = _cmul(unflat(yr), unflat(yi), c1, -s1)                # conj T1
+        zr_ref[0] = zr
+        zi_ref[0] = zi
+
+    return _middle_kernel
+
+
+def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
+    """(V, B, A, C) complex planes -> same shape, fused middle stages.
+
+    Grid (A/R, V): each step owns a (B, R, C) slab of R consecutive ka rows,
+    so the F2/I2 matmuls are (B,B)@(B, R*C) and F3/I3 are (B*R, C)@(C,C) —
+    full-width MXU shapes — and every reshape keeps c in the lanes.
+    The d slab is reused across the batch (v iterates fastest)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, B, A, C = yr.shape
+    R = math.gcd(A, 8)
+    const = pl.BlockSpec((B, C), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
+    sq = lambda n: pl.BlockSpec((n, n), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, B, R, C), lambda a, v: (v, 0, a, 0),
+                        memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((B, R, C), lambda a, v: (0, a, 0),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((V, B, A, C), yr.dtype)
+    return pl.pallas_call(
+        _make_middle_kernel(prec, R, B, C),
+        grid=(A // R, V),
+        in_specs=[const, const, const, sq(B), sq(B), sq(B), sq(C), sq(C),
+                  sq(C), dspec, tile, tile],
+        out_specs=[tile, tile],
+        out_shape=[out, out],
+        interpret=jax.default_backend() != "tpu",
+    )(plan.theta, plan.t2c, plan.t2s, plan.wbc, plan.wbs, plan.wbsum,
+      plan.wcc, plan.wcs, plan.wcsum, d_perm, yr, yi)
+
+
+def _stage1_fwd(xr, xi, plan: RadixPlan, prec):
+    """(V, L) -> (V, B, A, C): DFT over the a axis (XLA einsum, MXU), output
+    in the kernel's b-major slab layout (c stays in the lanes)."""
+    V = xr.shape[0]
+    A, B, C = plan.A, plan.B, plan.C
+    ein = functools.partial(jnp.einsum, precision=prec)
+    ar = xr.reshape(V, A, B, C)
+    ai = xi.reshape(V, A, B, C)
+    t1 = ein("ka,vabc->vbkc", plan.wac, ar)
+    t2 = ein("ka,vabc->vbkc", plan.was, ai)
+    t3 = ein("ka,vabc->vbkc", plan.wasum, ar + ai)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _stage1_inv(zr, zi, plan: RadixPlan, prec):
+    """(V, B, A, C) -> (V, L): conj DFT over the ka axis, natural order."""
+    V = zr.shape[0]
+    ein = functools.partial(jnp.einsum, precision=prec)
+    wc, ws = plan.wac, -plan.was
+    t1 = ein("ka,vbkc->vabc", wc, zr)
+    t2 = ein("ka,vbkc->vabc", ws, zi)
+    t3 = ein("ka,vbkc->vabc", wc + ws, zr + zi)
+    return (t1 - t2).reshape(V, plan.L), (t3 - t1 - t2).reshape(V, plan.L)
+
+
+def _apply_impl(xr, xi, d_perm, plan: RadixPlan, prec):
+    yr, yi = _stage1_fwd(xr, xi, plan, prec)
+    zr, zi = _middle_pallas(yr, yi, d_perm, plan, prec)
+    return _stage1_inv(zr, zi, plan, prec)
+
+
+def _forward_stages(xr, xi, plan: RadixPlan, prec):
+    """Forward transform only, pure XLA — used for the weights cotangent.
+    Returns (V, B, A, C) planes AFTER T1/F2/T2/F3 (d_perm's layout)."""
+    A, B, C = plan.A, plan.B, plan.C
+    yr, yi = _stage1_fwd(xr, xi, plan, prec)  # (V, B, A, C)
+    ka = jnp.arange(A, dtype=yr.dtype).reshape(A, 1)
+    ang = plan.theta.reshape(B, 1, C) * ka[None]
+    yr, yi = _cmul(yr, yi, jnp.cos(ang), jnp.sin(ang))
+    ein = functools.partial(jnp.einsum, precision=prec)
+    rr = ein("kb,vbac->vkac", plan.wbc, yr) - ein("kb,vbac->vkac", plan.wbs, yi)
+    ri = ein("kb,vbac->vkac", plan.wbc, yi) + ein("kb,vbac->vkac", plan.wbs, yr)
+    yr, yi = _cmul(rr, ri, plan.t2c.reshape(B, 1, C), plan.t2s.reshape(B, 1, C))
+    rr = ein("vbac,ck->vbak", yr, plan.wcc) - ein("vbac,ck->vbak", yi, plan.wcs)
+    ri = ein("vbac,ck->vbak", yi, plan.wcc) + ein("vbac,ck->vbak", yr, plan.wcs)
+    return rr, ri
+
+
+@functools.lru_cache(maxsize=32)
+def _get_apply(L: int, dtype_name: str, precision):
+    """custom_vjp closure over a host-numpy plan, cached per (L, dtype,
+    precision) — plan tables enter every jit trace as fresh constants, so
+    the closure is safe to reuse across traces."""
+    plan = make_plan(L, dtype_name)
+
+    @jax.custom_vjp
+    def apply(xr, xi, d_perm):
+        return _apply_impl(xr, xi, d_perm, plan, precision)
+
+    def fwd(xr, xi, d_perm):
+        return _apply_impl(xr, xi, d_perm, plan, precision), (xr, xi, d_perm)
+
+    def bwd(res, g):
+        xr, xi, d_perm = res
+        gr, gi = g
+        # x-cotangent: C_d is real symmetric, so pullback = the same apply.
+        xbr, xbi = _apply_impl(gr, gi, d_perm, plan, precision)
+        # d-cotangent: in permuted coordinates y = conjF(d_perm . F x) with
+        # no scale (1/L lives inside d_perm via permute_weights), so
+        # dL/dd_perm = sum_v Re[(F x) . conj(F g)] in stage order.
+        fxr, fxi = _forward_stages(xr, xi, plan, precision)
+        fgr, fgi = _forward_stages(gr, gi, plan, precision)
+        dbar = jnp.sum(fxr * fgr + fxi * fgi, axis=0)
+        return xbr, xbi, dbar
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGHEST):
+    """Packed circulant apply: returns (C_d xr, C_d xi) for real even spectra.
+
+    xr, xi: (V, L) planes (two real RHS per complex slot — the 2-for-1
+    packing of `bttb._fft_apply_core`).  d_perm: `permute_weights` output.
+    Differentiable in xr/xi (the operator is symmetric: the pullback is the
+    same fused apply) and in d_perm (two forward transforms).
+    """
+    return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision)(xr, xi, d_perm)
