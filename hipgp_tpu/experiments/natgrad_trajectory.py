@@ -1,0 +1,262 @@
+"""Natgrad ELBO/RMSE trajectory parity vs the LIVE reference.
+
+Runs the reference's own natural-gradient settings
+(`experiments-hip-gp/run_synthetic_experiment.py`: SGD lr=1e-2, batch 200,
+shuffle=False, optional per-batch StepLR 0.99, maxiter_cg=20, cold
+expectation-family init) on the SAME synthetic data with the SAME theta1
+draw, three ways:
+
+  * ``ref``  — the actual ziggy ``MeanFieldToeplitzGP`` + the
+    `ziggy/svi_gp.py:282-388` loop semantics, executed live on CPU torch
+    via the `ref_compat` API shims (f64);
+  * ``jax``  — this framework's ``svigp_fit`` (f64 on CPU for a clean
+    arithmetic comparison, f32 on TPU for the paper-scale run);
+  * ``chol`` — the cholesky-whitened twin (exact kn, no truncated PCG) as
+    the truncation-free control.
+
+Per epoch it records the reference's logged quantity (mean per-batch ELBO
+estimate, `svi_gp.py:338`) and test RMSE, writes one CSV per mode into
+``--output-dir``, and in ``compare`` mode prints aligned trajectories with
+max deviations.
+
+Reduced scale (default N=2000, M=16^2) is where torch comfortably runs;
+``--paper`` switches to N=20k, M=125^2 (reference scale — jax modes only;
+the torch reference cannot fit this through natgrad on one CPU in useful
+time, and its CUDA path targets a 16 GB V100).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+from .synthetic_data import make_two_dim_data
+
+
+def _theta1_init(mprime: int, seed: int) -> np.ndarray:
+    """Shared xavier_normal_((M',1)) draw: std = sqrt(2/(M'+1))."""
+    rng = np.random.default_rng(seed)
+    return math.sqrt(2.0 / (mprime + 1)) * rng.standard_normal(mprime)
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a).reshape(-1) - np.asarray(b).reshape(-1)) ** 2)))
+
+
+def run_ref(data, args):
+    """Live reference natgrad: mirrors `ziggy/svi_gp.py:282-388` exactly
+    (SGD on theta, per-batch StepLR, shuffle=False, cold init)."""
+    from .ref_compat import import_ziggy
+
+    import_ziggy()
+    import torch
+    from ziggy import kernels as zk
+    from ziggy.hipgp import MeanFieldToeplitzGP
+
+    torch.manual_seed(args.seed)
+    grids = [torch.linspace(-1.0, 1.0, args.m1, dtype=torch.double)
+             for _ in range(2)]
+    mod = MeanFieldToeplitzGP(
+        zk.SqExp(), grids, num_obs=args.nobs, sig2_init=args.sig2,
+        ell_init=args.ell, noise2_init=args.noise ** 2,
+        learn_kernel=False, learn_noise=False, dtype=torch.double,
+    )
+    mod.global_theta1.data[:] = torch.tensor(
+        _theta1_init(mod.Mprime, args.seed), dtype=torch.double
+    )[:, None]
+
+    x = torch.tensor(data["xobs"], dtype=torch.double)
+    y = torch.tensor(data["yobs"], dtype=torch.double)[:, None]
+    s = torch.tensor(data["sobs"], dtype=torch.double)[:, None]
+    xt = torch.tensor(data["xtest"], dtype=torch.double)
+
+    opt = torch.optim.SGD([mod.global_theta1, mod.global_theta2], lr=args.lr)
+    sched = (torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=args.step_decay)
+             if args.schedule_lr else None)
+    nb = -(-args.nobs // args.batch_size)
+    rows = []
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        elbos = []
+        for b in range(nb):  # DataLoader(shuffle=False) order
+            sl = slice(b * args.batch_size, min((b + 1) * args.batch_size, args.nobs))
+            opt.zero_grad()
+            lval = mod.elbo_and_grad(
+                xbatch=x[sl], ybatch=y[sl], noise_std_batch=s[sl],
+                maxiter_cg=args.maxiter_cg,
+            )
+            opt.step()
+            if sched is not None:
+                sched.step()
+            elbos.append(float(lval))
+        with torch.no_grad():
+            mu, _ = mod.predict(xt, maxiter_cg=args.predict_maxiter_cg)
+        rows.append({
+            "epoch": epoch, "elbo": float(np.mean(elbos)),
+            "rmse": _rmse(mu.squeeze(-1).numpy(), data["ftest"]),
+            "secs": time.time() - t0,
+        })
+        print("ref", rows[-1], flush=True)
+    return rows
+
+
+def run_jax(data, args, whitened_type="ziggy", tag="jax"):
+    """Same protocol through svigp_fit (+ the cholesky-whitened control)."""
+    import jax
+
+    if not args.paper:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        from ..utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from ..infer.fit import FitConfig, batch_predict, svigp_fit
+    from ..kernels import SqExp
+    from ..models.hipgp import HIPGP
+
+    dt = jnp.float32 if args.paper else jnp.float64
+    grids = [jnp.linspace(-1.0, 1.0, args.m1, dtype=dt) for _ in range(2)]
+    model = HIPGP(
+        SqExp(), grids, num_obs=args.nobs, family="mean-field",
+        whitened_type=whitened_type, sig2_init=args.sig2, ell_init=args.ell,
+        noise2_init=args.noise ** 2,
+    )
+    state = model.init_state()
+    state = state.replace(
+        theta1=jnp.asarray(_theta1_init(model.Mprime, args.seed), dt)
+    )
+
+    x = jnp.asarray(data["xobs"], dt)
+    y = jnp.asarray(data["yobs"], dt)
+    s = jnp.asarray(data["sobs"], dt)
+    xt = jnp.asarray(data["xtest"], dt)
+
+    cfg = FitConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        schedule_lr=args.schedule_lr, step_decay=args.step_decay,
+        maxiter_cg=args.maxiter_cg, shuffle=False, seed=args.seed,
+        epoch_log_interval=0,
+    )
+    rows = []
+
+    def cb(epoch, model_, state_, trace):
+        t0 = time.time()
+        mu, _ = batch_predict(
+            model_, state_, xt, maxiter_cg=args.predict_maxiter_cg
+        )
+        nb = -(-args.nobs // args.batch_size)
+        rows.append({
+            "epoch": epoch,
+            "elbo": float(np.mean(trace[-nb:])),
+            "rmse": _rmse(mu, data["ftest"]),
+            "secs": time.time() - t0,
+        })
+        print(tag, rows[-1], flush=True)
+
+    svigp_fit(model, state, x, y, s, cfg, epoch_callback=cb, verbose=False,
+              theta2_warmstart=args.warmstart)
+    return rows
+
+
+def _write(rows, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print("wrote", path)
+
+
+def _read(path):
+    with open(path) as f:
+        return [
+            {k: float(v) for k, v in r.items()} for r in csv.DictReader(f)
+        ]
+
+
+def compare(args):
+    out = {}
+    ref = _read(os.path.join(args.output_dir, "ref.csv"))
+    for tag in ("jax", "chol"):
+        p = os.path.join(args.output_dir, f"{tag}.csv")
+        if not os.path.exists(p):
+            continue
+        got = _read(p)
+        n = min(len(ref), len(got))
+        delbo = [abs(ref[i]["elbo"] - got[i]["elbo"]) for i in range(n)]
+        drmse = [abs(ref[i]["rmse"] - got[i]["rmse"]) for i in range(n)]
+        out[tag] = {
+            "epochs": n,
+            "max_abs_elbo_dev": max(delbo),
+            "max_abs_rmse_dev": max(drmse),
+            "final_elbo": (ref[n - 1]["elbo"], got[n - 1]["elbo"]),
+            "final_rmse": (ref[n - 1]["rmse"], got[n - 1]["rmse"]),
+        }
+        print(tag, json.dumps(out[tag], indent=1), flush=True)
+    with open(os.path.join(args.output_dir, "compare.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--modes", nargs="+",
+                   default=["ref", "jax", "chol", "compare"],
+                   choices=["ref", "jax", "chol", "compare"])
+    p.add_argument("--nobs", type=int, default=2000)
+    p.add_argument("--ntest", type=int, default=1000)
+    p.add_argument("--m1", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--schedule-lr", action="store_true")
+    p.add_argument("--step-decay", type=float, default=0.99)
+    p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--predict-maxiter-cg", type=int, default=50)
+    p.add_argument("--ell", type=float, default=0.2)
+    p.add_argument("--sig2", type=float, default=None,
+                   help="default: var(y) - noise^2, the reference's rule")
+    p.add_argument("--noise", type=float, default=0.1)
+    p.add_argument("--gridnum", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--warmstart", action="store_true",
+                   help="theta2 warm start (jax modes; beyond-reference)")
+    p.add_argument("--paper", action="store_true",
+                   help="N=20k, M=125^2 on the default jax backend (TPU)")
+    p.add_argument("--output-dir", default="results/natgrad-trajectory")
+    args = p.parse_args(argv)
+
+    if args.paper:
+        args.nobs, args.m1 = 20000, 125
+        args.modes = [m for m in args.modes if m not in ("ref", "compare")]
+
+    data = make_two_dim_data(
+        Nobs=args.nobs, Ntest=args.ntest, noise_std=args.noise,
+        gridnum=args.gridnum, seed=args.seed,
+    )
+    if args.sig2 is None:
+        args.sig2 = float(np.var(data["yobs"]) - args.noise ** 2)
+        print(f"sig2 from data: {args.sig2:.4f}")
+
+    if "ref" in args.modes:
+        _write(run_ref(data, args), os.path.join(args.output_dir, "ref.csv"))
+    if "jax" in args.modes:
+        _write(run_jax(data, args, "ziggy", "jax"),
+               os.path.join(args.output_dir, "jax.csv"))
+    if "chol" in args.modes:
+        _write(run_jax(data, args, "cholesky", "chol"),
+               os.path.join(args.output_dir, "chol.csv"))
+    if "compare" in args.modes:
+        compare(args)
+
+
+if __name__ == "__main__":
+    main()

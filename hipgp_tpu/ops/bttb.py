@@ -316,9 +316,17 @@ def _fft_axes(ndim: int) -> Tuple[int, ...]:
 # ---------------------------------------------------------------------------
 
 MATMUL_DFT_MAX_LEN = 512
-# DFT-style sums cancel heavily; single-pass bf16 matmuls lose ~1e-1
-# relative.  HIGHEST (6-pass) keeps the path at f32 accuracy.
-MATMUL_DFT_PRECISION = jax.lax.Precision.HIGHEST
+# DFT-style sums cancel heavily; single-pass bf16 (DEFAULT) loses 4.3e-3
+# relative at the paper shape.  Swept in experiments/precision_study.py
+# (RESULTS §11): HIGH (3-pass bf16) is 1.5x faster end-to-end than HIGHEST
+# on the M=125^2 whitening solve (37.5 vs 56.2 ms) at 3.7e-5 per-apply /
+# 7.5e-4 per-20-iteration-solve error — under the f32 truncated-PCG floor,
+# with model-level RMSE unchanged to 3 digits.  Policy set from that data.
+MATMUL_DFT_PRECISION = jax.lax.Precision.HIGH
+# Storage dtype for the transform matmuls: None = operand dtype (f32 path).
+# Setting jnp.bfloat16 casts basis+operand to bf16 with f32 accumulation
+# (preferred_element_type) — swept by the precision study, not the default.
+MATMUL_DFT_DTYPE = None
 # A fused Pallas kernel for the 2-D transform exists
 # (ops/pallas_transform.py) but measured SLOWER than the einsum chain on
 # v5e (522 ms vs 74 ms for a 30-iteration whiten at batch 1000): with
@@ -371,9 +379,16 @@ def _axis_contract(x, Q, axis: int):
     axis = axis % nd
     subs = _LETTERS[:nd]
     out = subs[:axis] + "Z" + subs[axis + 1 :]
-    return jnp.einsum(
-        f"{subs},{subs[axis]}Z->{out}", x, Q, precision=MATMUL_DFT_PRECISION
-    )
+    eq = f"{subs},{subs[axis]}Z->{out}"
+    if MATMUL_DFT_DTYPE is not None:
+        y = jnp.einsum(
+            eq,
+            x.astype(MATMUL_DFT_DTYPE),
+            Q.astype(MATMUL_DFT_DTYPE),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(x.dtype)
+    return jnp.einsum(eq, x, Q, precision=MATMUL_DFT_PRECISION)
 
 
 def _axis_transform(x, axis, L, dtype, inverse: bool):

@@ -56,6 +56,13 @@ __all__ = ["RadixPlan", "make_plan", "permute_weights", "fused_circulant_apply",
 _LANE = 128
 HIGHEST = jax.lax.Precision.HIGHEST
 HIGH = jax.lax.Precision.HIGH
+# The stage-1 XLA einsums run at HIGH (3-pass bf16): measured 12.0 -> 8.3 ms
+# per packed batch-4 apply at L = 2^21 (-31%) for 2.1e-5 rel err vs the f64
+# oracle (2.5e-7 at HIGHEST) — well under the f32 truncated-PCG floor.  The
+# Pallas middle stays HIGHEST (Mosaic offers only DEFAULT/HIGHEST, and
+# DEFAULT measured slower AND 5.8e-3 wrong).  Policy set from the sweep in
+# experiments/precision_study.py (RESULTS §11).
+STAGE1_PRECISION = HIGH
 
 
 def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
@@ -263,10 +270,10 @@ def _stage1_inv(zr, zi, plan: RadixPlan, prec):
     return (t1 - t2).reshape(V, plan.L), (t3 - t1 - t2).reshape(V, plan.L)
 
 
-def _apply_impl(xr, xi, d_perm, plan: RadixPlan, prec):
-    yr, yi = _stage1_fwd(xr, xi, plan, prec)
-    zr, zi = _middle_pallas(yr, yi, d_perm, plan, prec)
-    return _stage1_inv(zr, zi, plan, prec)
+def _apply_impl(xr, xi, d_perm, plan: RadixPlan, kprec, s1prec):
+    yr, yi = _stage1_fwd(xr, xi, plan, s1prec)
+    zr, zi = _middle_pallas(yr, yi, d_perm, plan, kprec)
+    return _stage1_inv(zr, zi, plan, s1prec)
 
 
 def _forward_stages(xr, xi, plan: RadixPlan, prec):
@@ -287,29 +294,29 @@ def _forward_stages(xr, xi, plan: RadixPlan, prec):
 
 
 @functools.lru_cache(maxsize=32)
-def _get_apply(L: int, dtype_name: str, precision):
+def _get_apply(L: int, dtype_name: str, kprec, s1prec):
     """custom_vjp closure over a host-numpy plan, cached per (L, dtype,
-    precision) — plan tables enter every jit trace as fresh constants, so
+    precisions) — plan tables enter every jit trace as fresh constants, so
     the closure is safe to reuse across traces."""
     plan = make_plan(L, dtype_name)
 
     @jax.custom_vjp
     def apply(xr, xi, d_perm):
-        return _apply_impl(xr, xi, d_perm, plan, precision)
+        return _apply_impl(xr, xi, d_perm, plan, kprec, s1prec)
 
     def fwd(xr, xi, d_perm):
-        return _apply_impl(xr, xi, d_perm, plan, precision), (xr, xi, d_perm)
+        return _apply_impl(xr, xi, d_perm, plan, kprec, s1prec), (xr, xi, d_perm)
 
     def bwd(res, g):
         xr, xi, d_perm = res
         gr, gi = g
         # x-cotangent: C_d is real symmetric, so pullback = the same apply.
-        xbr, xbi = _apply_impl(gr, gi, d_perm, plan, precision)
+        xbr, xbi = _apply_impl(gr, gi, d_perm, plan, kprec, s1prec)
         # d-cotangent: in permuted coordinates y = conjF(d_perm . F x) with
         # no scale (1/L lives inside d_perm via permute_weights), so
         # dL/dd_perm = sum_v Re[(F x) . conj(F g)] in stage order.
-        fxr, fxi = _forward_stages(xr, xi, plan, precision)
-        fgr, fgi = _forward_stages(gr, gi, plan, precision)
+        fxr, fxi = _forward_stages(xr, xi, plan, s1prec)
+        fgr, fgi = _forward_stages(gr, gi, plan, s1prec)
         dbar = jnp.sum(fxr * fgr + fxi * fgi, axis=0)
         return xbr, xbi, dbar
 
@@ -317,12 +324,19 @@ def _get_apply(L: int, dtype_name: str, precision):
     return apply
 
 
-def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGHEST):
+def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGHEST,
+                          stage1_precision=None):
     """Packed circulant apply: returns (C_d xr, C_d xi) for real even spectra.
 
     xr, xi: (V, L) planes (two real RHS per complex slot — the 2-for-1
     packing of `bttb._fft_apply_core`).  d_perm: `permute_weights` output.
+    ``precision`` is the Pallas-kernel dot precision; the surrounding
+    stage-1 einsums run at ``stage1_precision`` (default
+    :data:`STAGE1_PRECISION`, set from the measured precision study).
     Differentiable in xr/xi (the operator is symmetric: the pullback is the
     same fused apply) and in d_perm (two forward transforms).
     """
-    return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision)(xr, xi, d_perm)
+    s1 = STAGE1_PRECISION if stage1_precision is None else stage1_precision
+    return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision, s1)(
+        xr, xi, d_perm
+    )
