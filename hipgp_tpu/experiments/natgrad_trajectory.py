@@ -166,6 +166,47 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
     return rows
 
 
+def run_solve(data, args):
+    """Closed-form mean-field optimum at the SAME hypers — the natgrad
+    trajectory's asymptote (gap target for RESULTS §12)."""
+    import jax
+
+    if not args.paper:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        from ..utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from ..infer.fit import batch_predict
+    from ..kernels import SqExp
+    from ..models.hipgp import HIPGP
+
+    dt = jnp.float32 if args.paper else jnp.float64
+    grids = [jnp.linspace(-1.0, 1.0, args.m1, dtype=dt) for _ in range(2)]
+    model = HIPGP(
+        SqExp(), grids, num_obs=args.nobs, family="mean-field",
+        sig2_init=args.sig2, ell_init=args.ell, noise2_init=args.noise ** 2,
+    )
+    t0 = time.time()
+    new = model.batch_solve(
+        model.init_state(), jnp.asarray(data["xobs"], dt),
+        jnp.asarray(data["yobs"], dt), jnp.asarray(data["sobs"], dt),
+        batch_size=5000, maxiter_cg=args.maxiter_cg,
+        mean_solver="gram" if args.paper else "dense",
+    )
+    mu, _ = batch_predict(
+        model, new, jnp.asarray(data["xtest"], dt), batch_size=1000,
+        maxiter_cg=args.predict_maxiter_cg,
+    )
+    row = {"epoch": -1, "elbo": float("nan"),
+           "rmse": _rmse(mu, data["ftest"]), "secs": time.time() - t0}
+    print("solve", row, flush=True)
+    return [row]
+
+
 def _write(rows, path):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", newline="") as f:
@@ -210,7 +251,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--modes", nargs="+",
                    default=["ref", "jax", "chol", "compare"],
-                   choices=["ref", "jax", "chol", "compare"])
+                   choices=["ref", "jax", "chol", "solve", "compare"])
     p.add_argument("--nobs", type=int, default=2000)
     p.add_argument("--ntest", type=int, default=1000)
     p.add_argument("--m1", type=int, default=16)
@@ -251,6 +292,8 @@ def main(argv=None):
     if "jax" in args.modes:
         _write(run_jax(data, args, "ziggy", "jax"),
                os.path.join(args.output_dir, "jax.csv"))
+    if "solve" in args.modes:
+        _write(run_solve(data, args), os.path.join(args.output_dir, "solve.csv"))
     if "chol" in args.modes:
         _write(run_jax(data, args, "cholesky", "chol"),
                os.path.join(args.output_dir, "chol.csv"))
