@@ -1,5 +1,6 @@
 """TPU parallelism: device meshes, exact data-parallel solves/training,
-grid-sharded FFT solves."""
+grid-sharded FFT solves, and multi-host (jax.distributed) scale-out."""
+from . import multihost
 from .mesh import NamedSharding, P, make_mesh, replicated, shard_batch
 from .dp import dp_batch_solve, dp_elbo_and_grads, dp_svigp_fit, make_dp_train_step
 from .mp import grid_state_spec, mp_batch_solve, mp_predict, mp_shard_state
@@ -16,6 +17,7 @@ from .fft_sharded import (
 )
 
 __all__ = [
+    "multihost",
     "GridShardInfo",
     "host_weights",
     "local_circulant_apply",

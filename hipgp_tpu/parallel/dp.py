@@ -76,15 +76,41 @@ def dp_batch_solve(
     total = nsteps * chunk
 
     w = jnp.ones((N,), model.dtype)
-    x_p, y_p, w_p, ns_p = _pad_to(total, xobs, y, w, ns, fills=(0.0, 0.0, 0.0, 1.0))
-
-    x_p = x_p.reshape(nsteps, chunk, -1)
-    y_p = y_p.reshape(nsteps, chunk)
-    w_p = w_p.reshape(nsteps, chunk)
-    ns_p = None if ns_p is None else ns_p.reshape(nsteps, chunk)
 
     spec_b = P(None, axis)  # (step, data) with data sharded
     spec_bx = P(None, axis, None)
+
+    addressable = all(
+        getattr(a, "is_fully_addressable", True)
+        for a in (xobs, y, ns) if a is not None
+    )
+    if addressable:
+        x_p, y_p, w_p, ns_p = _pad_to(
+            total, xobs, y, w, ns, fills=(0.0, 0.0, 0.0, 1.0)
+        )
+        x_p = x_p.reshape(nsteps, chunk, -1)
+        y_p = y_p.reshape(nsteps, chunk)
+        w_p = w_p.reshape(nsteps, chunk)
+        ns_p = None if ns_p is None else ns_p.reshape(nsteps, chunk)
+    else:
+        # multi-host: inputs are global (process-spanning) arrays — eager
+        # pad/reshape would require full addressability, so stage the prep
+        # through jit with explicit output shardings instead
+        def _prep(spec, fill, trailing):
+            shape = (nsteps, chunk) + trailing
+            return jax.jit(
+                lambda a: jnp.pad(
+                    a,
+                    [(0, total - N)] + [(0, 0)] * (a.ndim - 1),
+                    constant_values=fill,
+                ).reshape(shape),
+                out_shardings=NamedSharding(mesh, spec),
+            )
+
+        x_p = _prep(spec_bx, 0.0, (xobs.shape[-1],))(xobs)
+        y_p = _prep(spec_b, 0.0, ())(y)
+        w_p = _prep(spec_b, 0.0, ())(w)
+        ns_p = None if ns is None else _prep(spec_b, 1.0, ())(ns)
 
     def local_accum(state, xb, yb, wb, nsb):
         # xb: (nsteps, chunk/ndev, D) local shard
