@@ -222,6 +222,19 @@ def circulant_embed(col: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _real_even_half_spectrum(emb: jnp.ndarray) -> jnp.ndarray:
+    """rfftn-layout half-spectrum of a real even-symmetric tensor.
+
+    Computed as the COMPLEX fftn sliced to the non-redundant half: XLA's
+    TPU rfft is catastrophically slow at long pow2 lengths (measured 430 ms
+    vs 0.3 ms for the c64 fft at L = 2^21), and the circulant tensor's DFT
+    is real anyway, so the complex transform loses nothing."""
+    cplx = jnp.complex128 if emb.dtype == jnp.float64 else jnp.complex64
+    full = jnp.fft.fftn(emb.astype(cplx)).real
+    L = emb.shape[-1]
+    return full[..., : L // 2 + 1]
+
+
 def spectrum_from_column(
     col: jnp.ndarray, eig_floor: float = DEFAULT_EIG_FLOOR
 ) -> BTTBSpectrum:
@@ -230,9 +243,8 @@ def spectrum_from_column(
     emb = circulant_embed(col)
     edims = tuple(emb.shape)
     # The circulant tensor is real and even-symmetric, so its DFT is real;
-    # rfftn gives the non-redundant half which is all we need for real
-    # input/output matvecs.
-    eigs = jnp.fft.rfftn(emb).real
+    # the non-redundant half is all we need for real input/output matvecs.
+    eigs = _real_even_half_spectrum(emb)
     eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
     return BTTBSpectrum(column=col, eigs=eigs, dims=dims, edims=edims)
 
@@ -283,7 +295,7 @@ def make_spectrum(
     c = kernel_fn(pts[:1], pts)[0]
     c = c.at[0].add(jitter)
     emb = c.reshape(edims)
-    eigs = jnp.fft.rfftn(emb).real
+    eigs = _real_even_half_spectrum(emb)
     eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
     col_idx = tuple(slice(0, d) for d in dims)
     return BTTBSpectrum(column=emb[col_idx], eigs=eigs, dims=dims, edims=edims)
@@ -335,9 +347,10 @@ MATMUL_DFT_DTYPE = None
 # rank-3 dots poorly.  Kept as an opt-in alternative.
 USE_PALLAS_TRANSFORM = False
 # The 1-D long-axis circulant apply DOES win from fusion: the three-stage
-# radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) measured
-# 2.32 ms vs 2.78 ms for the XLA-FFT apply at L = 2^21, packed batch-4
-# (17%), 4.7e-7 agreement — on by default for supported pow2 lengths.
+# radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) runs the
+# 20-iteration whitening solve at 44.3 vs 59.0 ms against the XLA-FFT path
+# (L = 2^21, batch 8, matched protocol), 2.3e-5 vs the f64 oracle at the
+# shipped HIGH policy — on by default for supported pow2 lengths.
 USE_RADIX_FFT = True
 
 

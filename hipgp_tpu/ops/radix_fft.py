@@ -30,12 +30,14 @@ matmuls (3 real dots each) and the VPU elementwise chain, one HBM read +
 one write for the whole middle.  The d tile is reused across the batch
 (grid iterates the batch fastest).
 
-Precision (measured at L = 2^21 vs the on-chip FFT): HIGHEST 4.7e-7,
-DEFAULT ~4e-3.  Everything runs at HIGHEST (Mosaic supports only
-DEFAULT/HIGHEST dot precisions in-kernel; DEFAULT's 4e-3 is above the f32
-truncated-PCG floor).  Measured end-to-end: 2.32 ms vs 2.78 ms for the XLA
-FFT apply at the headline shape (packed batch-4, L = 2^21) — 17% faster
-with 4.7e-7 agreement.
+Precision (measured at L = 2^21 vs the f64 oracle): all-HIGHEST 2.5e-7;
+the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
+bf16 hi/lo 3-pass splits, see `_make_dot`) 2.3e-5 — well under the f32
+truncated-PCG floor; DEFAULT ~5.8e-3 and *slower* (rejected, RESULTS §11).
+Measured in-graph at the headline shape (packed batch-4, L = 2^21):
+2.94 ms/apply = stage-1 fwd ~0.5 + middle kernel 1.38 + stage-1 inv 0.88,
+vs ~10 ms for the standalone XLA c64 FFT pair; the 20-iteration whitening
+solve runs 44.3 vs 59.0 ms against the XLA-FFT path at matched protocol.
 
 Parity reference: behavioral twin of `ziggy/misc/toeplitz_tensor.py:70-125`
 (_matmul_by_K / _matmul_by_Cinv FFT applies), rebuilt as a TPU kernel.
@@ -150,23 +152,45 @@ def _cmul(xr, xi, cr, ci):
     return xr * cr - xi * ci, xr * ci + xi * cr
 
 
-def _cdot(ar, ai, asum, br, bi, prec):
+def _bf16_split(a):
+    """f32 -> (hi, lo) bf16 pair with a ~= hi + lo to ~1e-7 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(prec, dtype):
+    """Kernel dot at the requested precision.  Mosaic exposes only
+    DEFAULT/HIGHEST f32 dots; HIGH (3-pass bf16) is emulated manually via
+    the hi/lo split — measured 1.38 vs 1.68 ms per packed middle pass at
+    L = 2^21 (-18%) for 2.3e-5 vs 2.1e-5 apply error (both dominated by
+    the HIGH stage-1 einsums).  Non-f32 dtypes (the f64 interpret-mode
+    tests) clamp HIGH to HIGHEST, which is exact on CPU."""
+    if prec == HIGH and dtype == jnp.float32:
+
+        def dot3(a, b):
+            ah, al = _bf16_split(a)
+            bh, bl = _bf16_split(b)
+            f = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+            return f(ah, bh) + f(al, bh) + f(ah, bl)
+
+        return dot3
+    if prec == HIGH:
+        prec = HIGHEST
+    return functools.partial(jnp.dot, precision=prec)
+
+
+def _cdot(ar, ai, asum, br, bi, dot):
     """Karatsuba complex matmul (ar + i ai) @ (br + i bi), asum = ar + ai
     precomputed: 3 real MXU dots instead of 4."""
-    dot = functools.partial(
-        jnp.dot, precision=prec
-    )
     t1 = dot(ar, br)
     t2 = dot(ai, bi)
     t3 = dot(asum, br + bi)
     return t1 - t2, t3 - t1 - t2
 
 
-def _cdot_r(ar, ai, br, bi, bsum, prec):
+def _cdot_r(ar, ai, br, bi, bsum, dot):
     """Right-multiply variant: (ar + i ai) @ (br + i bi), bsum = br + bi."""
-    dot = functools.partial(
-        jnp.dot, precision=prec
-    )
     t1 = dot(ar, br)
     t2 = dot(ai, bi)
     t3 = dot(ar + ai, bsum)
@@ -180,6 +204,7 @@ def _make_middle_kernel(prec, R, B, C):
         import jax.experimental.pallas as pl
 
         dt = theta_ref.dtype
+        dot = _make_dot(prec, dt)
         a0 = pl.program_id(0).astype(dt) * R
         # T1 phases for the R ka-rows of this slab: ang[b, r, c] = ka * theta[b, c]
         ka = a0 + jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1).astype(dt)
@@ -194,19 +219,19 @@ def _make_middle_kernel(prec, R, B, C):
         flat = lambda t: t.reshape(B, R * C)
         unflat = lambda t: t.reshape(B, R, C)
         yr, yi = _cdot(wbc_ref[:], wbs_ref[:], wbsum_ref[:],
-                       flat(yr), flat(yi), prec)                       # F2 over b
+                       flat(yr), flat(yi), dot)                        # F2 over b
         yr, yi = _cmul(unflat(yr), unflat(yi), t2c, t2s)               # T2
         rows = lambda t: t.reshape(B * R, C)
         yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], wcs_ref[:],
-                         wcsum_ref[:], prec)                           # F3 over c
+                         wcsum_ref[:], dot)                            # F3 over c
         d = d_ref[:]
         yr = unflat(yr) * d
         yi = unflat(yi) * d                            # diagonal (1/L folded)
         yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], -wcs_ref[:],
-                         wcc_ref[:] - wcs_ref[:], prec)                # I3
+                         wcc_ref[:] - wcs_ref[:], dot)                 # I3
         yr, yi = _cmul(unflat(yr), unflat(yi), t2c, -t2s)              # conj T2
         yr, yi = _cdot(wbc_ref[:], -wbs_ref[:], wbc_ref[:] - wbs_ref[:],
-                       flat(yr), flat(yi), prec)                       # I2
+                       flat(yr), flat(yi), dot)                        # I2
         zr, zi = _cmul(unflat(yr), unflat(yi), c1, -s1)                # conj T1
         zr_ref[0] = zr
         zi_ref[0] = zi
@@ -324,7 +349,7 @@ def _get_apply(L: int, dtype_name: str, kprec, s1prec):
     return apply
 
 
-def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGHEST,
+def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGH,
                           stage1_precision=None):
     """Packed circulant apply: returns (C_d xr, C_d xi) for real even spectra.
 
