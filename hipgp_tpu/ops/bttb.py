@@ -339,12 +339,14 @@ MATMUL_DFT_PRECISION = jax.lax.Precision.HIGH
 # Setting jnp.bfloat16 casts basis+operand to bf16 with f32 accumulation
 # (preferred_element_type) — swept by the precision study, not the default.
 MATMUL_DFT_DTYPE = None
-# A fused Pallas kernel for the 2-D transform exists
-# (ops/pallas_transform.py) but measured SLOWER than the einsum chain on
-# v5e (522 ms vs 74 ms for a 30-iteration whiten at batch 1000): with
-# HIGHEST-precision matmuls the einsum path is already MXU-compute-bound,
-# so there is no HBM-fusion win to capture, and Mosaic lowers the blocked
-# rank-3 dots poorly.  Kept as an opt-in alternative.
+# Fused Pallas kernel for the 2-D transform (ops/pallas_transform.py).
+# The v1 (blocked rank-3 dots, HIGHEST) measured 7x SLOWER than the einsum
+# chain; the v2 (per-sample 2-D dots, bf16 hi/lo 3-pass HIGH emulation)
+# measures 18% faster as a STANDALONE apply at both paper shapes, but
+# inside the whitening solve the einsum chain wins back (35.4 vs 36.4 ms
+# per 20-iteration batch-256 solve at M=125^2): XLA fuses the PCG
+# elementwise ops into the chain while pallas_call is a fusion barrier.
+# Off by default; flip for apply-dominated standalone workloads.
 USE_PALLAS_TRANSFORM = False
 # The 1-D long-axis circulant apply DOES win from fusion: the three-stage
 # radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) runs the

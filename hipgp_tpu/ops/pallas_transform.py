@@ -1,23 +1,35 @@
 """Fused 2-D circulant-apply Pallas kernel.
 
-The hot op of every PCG iteration is the real-eigenbasis sandwich
+The hot op of every PCG iteration on 2-D grids is the real-eigenbasis
+sandwich
     out = Q0 ((Q0^T x Q1) * W) Q1^T        (per batch sample)
 — four (L, L) matmuls plus an elementwise scale.  As an einsum chain XLA
 materializes each intermediate in HBM (~5 round trips of the batch tensor);
 this kernel keeps a sample resident in VMEM across all four MXU calls: one
-HBM read of x, one write of out, with Q0/Q1/W loaded once.
+HBM read of x, one write of out, with Q0/Q1 (and their transposes) and W
+loaded once.
+
+v2 design (same lessons as the 1-D radix kernel, `radix_fft.py`):
+  * per-sample python loop over the block — every operand is a natural 2-D
+    VMEM tile and every dot is a plain (L, L) matmul (the v1 blocked
+    rank-3 dot_generals lowered poorly in Mosaic);
+  * dots at the HIGH-equivalent bf16 hi/lo 3-pass emulation
+    (`radix_fft._make_dot`) — Mosaic has no HIGH, and HIGHEST's 6 passes
+    measured 7x slower than the einsum chain at the old design.
+Measured at the paper shapes (5-deep scan chains, v5e): (250, 250) batch
+256: 2.06 vs 2.50 ms/apply for the HIGH einsum chain; (256, 256) batch
+1000: 4.56 vs 5.55 ms (-18% both), 1e-5 vs the f64 oracle.  Inside the
+whitening SOLVE, however, the einsum chain wins back (35.4 vs 36.4 ms per
+20-iteration batch-256 solve at M=125^2): XLA fuses the PCG axpys into the
+chain while pallas_call is a fusion barrier.  OFF by default
+(`bttb.USE_PALLAS_TRANSFORM`); flip it for apply-dominated workloads.
 
 Gradients: the operator is linear and symmetric in x, so the VJP w.r.t. x is
 the same kernel; the VJP w.r.t. W is (analysis of x) * (analysis of g),
 computed with the plain einsum path (never on the hot loop).
 
-Status: OPT-IN (bttb.USE_PALLAS_TRANSFORM, default False).  Measured on v5e
-the fused kernel LOSES to the einsum chain (522 ms vs 74 ms, 30-iteration
-whiten, batch 1000, 128x128): at HIGHEST matmul precision the einsum path is
-already MXU-compute-bound — HBM traffic is not the bottleneck this fusion
-removes — and Mosaic lowers the blocked rank-3 dot_generals suboptimally.
-Kept with full tests as the starting point for a future hand-scheduled
-variant.
+Parity: behavioral twin of the reference's 2-D FFT applies
+(`ziggy/misc/toeplitz_tensor.py:70-125`), rebuilt in the real eigenbasis.
 """
 from __future__ import annotations
 
@@ -26,9 +38,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .radix_fft import HIGH, _make_dot
+
 __all__ = ["circulant_apply_2d", "PALLAS_MAX_LEN"]
 
-PALLAS_MAX_LEN = 512  # Q0, Q1, W and ~4 sample buffers must fit 16MB VMEM
+PALLAS_MAX_LEN = 512  # Q0/Q0^T/Q1/Q1^T/W + 2S sample planes must fit 16MB VMEM
 
 
 def _analysis_2d(x, Q0, Q1, precision):
@@ -45,63 +59,51 @@ def _apply_einsum(x, Q0, Q1, w, precision):
     return jnp.einsum("...cl,ld->...cd", a, Q1.T, precision=precision)
 
 
-def _kernel(x_ref, q0_ref, q1_ref, wt_ref, o_ref, *, S, L0, L1):
-    """S samples resident in VMEM; all contractions are (S*L, L) matmuls so
-    the MXU sees full tiles.  wt is w TRANSPOSED ((L1, L0)) to match the
-    intermediate layout."""
-    hi = jax.lax.Precision.HIGHEST
-
-    def mm(a, b, dn):
-        return jax.lax.dot_general(
-            a, b, (dn, ((), ())), precision=hi,
-            preferred_element_type=jnp.float32,
-        )
-
-    x = x_ref[:]  # (S, L0, L1)
-    q0 = q0_ref[:]
-    q1 = q1_ref[:]
-    # 1) minor-axis analysis: 'sij,jl->sil' as one (S*L0, L1) matmul
-    t = mm(x.reshape(S * L0, L1), q1, (((1,), (0,)))).reshape(S, L0, L1)
-    # 2) leading-axis analysis: 'sil,ik->slk' (contract dim 1)
-    u = mm(t, q0, (((1,), (0,))))  # (S, L1, L0)
-    u = u * wt_ref[:]  # wt: (L1, L0)
-    # 3) leading-axis synthesis: 'slk,ck->slc' (contract with Q0^T)
-    v = mm(u, q0, (((2,), (1,))))  # (S, L1, L0)
-    # 4) minor-axis synthesis: 'slc,dl->scd' (contract with Q1^T)
-    o = mm(v, q1, (((1,), (1,))))  # (S, L0, L1)
-    o_ref[:] = o.astype(o_ref.dtype)
+def _kernel(q0_ref, q0t_ref, q1_ref, q1t_ref, w_ref, x_ref, o_ref, *, S):
+    dot = _make_dot(HIGH, x_ref.dtype)
+    q0 = q0_ref[...]
+    q0t = q0t_ref[...]
+    q1 = q1_ref[...]
+    q1t = q1t_ref[...]
+    w = w_ref[...]
+    for s in range(S):
+        x = x_ref[s]
+        t = dot(x, q1)      # analysis, minor axis
+        u = dot(q0t, t)     # analysis, leading axis
+        u = u * w
+        v = dot(q0, u)      # synthesis, leading axis
+        o_ref[s] = dot(v, q1t).astype(o_ref.dtype)  # synthesis, minor axis
 
 
-def _pallas_apply(x, Q0, Q1, w, interpret=False, samples_per_block=64):
+def _pallas_apply(x, Q0, Q1, w, interpret=False, samples_per_block=8):
     import functools as ft
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, L0, L1 = x.shape
-    # pick a block size that divides the (padded) batch and fits VMEM
+    # block size: divides the (padded) batch and fits VMEM alongside the
+    # five resident (L, L) constants and the dot intermediates
     S = min(samples_per_block, B)
-    budget = 1024 * 1024 // (L0 * L1 * 4)  # ~1MB blocks: x/out double-buffered + 3 intermediates must fit 16MB VMEM
+    budget = max(1, (6 * 1024 * 1024) // (L0 * L1 * 4 * 2))
     S = max(1, min(S, budget))
     nb = -(-B // S)
     pad = nb * S - B
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
 
+    sq0 = pl.BlockSpec((L0, L0), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    sq1 = pl.BlockSpec((L1, L1), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    wsp = pl.BlockSpec((L0, L1), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((S, L0, L1), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        ft.partial(_kernel, S=S, L0=L0, L1=L1),
+        ft.partial(_kernel, S=S),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((S, L0, L1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L0, L0), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L1, L1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L1, L0), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((S, L0, L1), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[sq0, sq0, sq1, sq1, wsp, tile],
+        out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((nb * S, L0, L1), x.dtype),
         interpret=interpret,
-    )(xp, Q0, Q1, w.T)
+    )(Q0, Q0.T, Q1, Q1.T, w, xp)
     return out[:B] if pad else out
 
 

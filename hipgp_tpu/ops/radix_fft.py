@@ -35,7 +35,7 @@ the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
 bf16 hi/lo 3-pass splits, see `_make_dot`) 2.3e-5 — well under the f32
 truncated-PCG floor; DEFAULT ~5.8e-3 and *slower* (rejected, RESULTS §11).
 Measured in-graph at the headline shape (packed batch-4, L = 2^21):
-2.94 ms/apply = stage-1 fwd ~0.5 + middle kernel 1.38 + stage-1 inv 0.88,
+2.77 ms/apply = stage-1 fwd ~1.1 + middle kernel 1.17 + stage-1 inv 0.88,
 vs ~10 ms for the standalone XLA c64 FFT pair; the 20-iteration whitening
 solve runs 44.3 vs 59.0 ms against the XLA-FFT path at matched protocol.
 
@@ -140,11 +140,12 @@ def make_plan(L: int, dtype=jnp.float32) -> RadixPlan:
 
 
 def permute_weights(d_natural: jnp.ndarray, plan: RadixPlan) -> jnp.ndarray:
-    """Natural-order spectrum (L,) -> kernel stage order (B, A, C), with the
+    """Natural-order spectrum (L,) -> kernel stage order (A, B, C), with the
     1/L inverse-transform scale folded in.  k = ka + A*kb + AB*kc means the
-    natural layout viewed (C, B, A) C-order transposes to (B, A, C) — kb
-    leading so each kernel tile is a (B, R, C) slab of ka rows."""
-    d = d_natural.reshape(plan.C, plan.B, plan.A).transpose(1, 2, 0)
+    natural layout viewed (C, B, A) C-order transposes to (A, B, C) — ka
+    leading so each kernel slab is R consecutive (B, C) planes, each a
+    natural 2-D VMEM tile (no in-kernel relayouts)."""
+    d = d_natural.reshape(plan.C, plan.B, plan.A).transpose(2, 1, 0)
     return d / plan.L
 
 
@@ -206,58 +207,59 @@ def _make_middle_kernel(prec, R, B, C):
         dt = theta_ref.dtype
         dot = _make_dot(prec, dt)
         a0 = pl.program_id(0).astype(dt) * R
-        # T1 phases for the R ka-rows of this slab: ang[b, r, c] = ka * theta[b, c]
-        ka = a0 + jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1).astype(dt)
-        ang = theta_ref[:].reshape(B, 1, C) * ka
-        c1 = jnp.cos(ang)
-        s1 = jnp.sin(ang)
-        t2c = t2c_ref[:].reshape(B, 1, C)
-        t2s = t2s_ref[:].reshape(B, 1, C)
-        yr = yr_ref[0]  # (B, R, C): b sublane-major, c lanes, free reshapes
-        yi = yi_ref[0]
-        yr, yi = _cmul(yr, yi, c1, s1)                                 # T1
-        flat = lambda t: t.reshape(B, R * C)
-        unflat = lambda t: t.reshape(B, R, C)
-        yr, yi = _cdot(wbc_ref[:], wbs_ref[:], wbsum_ref[:],
-                       flat(yr), flat(yi), dot)                        # F2 over b
-        yr, yi = _cmul(unflat(yr), unflat(yi), t2c, t2s)               # T2
-        rows = lambda t: t.reshape(B * R, C)
-        yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], wcs_ref[:],
-                         wcsum_ref[:], dot)                            # F3 over c
-        d = d_ref[:]
-        yr = unflat(yr) * d
-        yi = unflat(yi) * d                            # diagonal (1/L folded)
-        yr, yi = _cdot_r(rows(yr), rows(yi), wcc_ref[:], -wcs_ref[:],
-                         wcc_ref[:] - wcs_ref[:], dot)                 # I3
-        yr, yi = _cmul(unflat(yr), unflat(yi), t2c, -t2s)              # conj T2
-        yr, yi = _cdot(wbc_ref[:], -wbs_ref[:], wbc_ref[:] - wbs_ref[:],
-                       flat(yr), flat(yi), dot)                        # I2
-        zr, zi = _cmul(unflat(yr), unflat(yi), c1, -s1)                # conj T1
-        zr_ref[0] = zr
-        zi_ref[0] = zi
+        th = theta_ref[...]
+        t2c = t2c_ref[...]
+        t2s = t2s_ref[...]
+        # per-ka loop: every operand is a natural 2-D (B, C) VMEM tile and
+        # every dot is (128,128)@(128,128) — zero in-kernel relayouts
+        # (the earlier (B,R,C)<->(B,R*C)<->(B*R,C) reshapes measured ~12%
+        # of kernel time as VPU shuffles)
+        for r in range(R):
+            ang = th * (a0 + r)                                        # T1 phase
+            c1 = jnp.cos(ang)
+            s1 = jnp.sin(ang)
+            yr = yr_ref[0, r]
+            yi = yi_ref[0, r]
+            yr, yi = _cmul(yr, yi, c1, s1)                             # T1
+            yr, yi = _cdot(wbc_ref[...], wbs_ref[...], wbsum_ref[...],
+                           yr, yi, dot)                                # F2 over b
+            yr, yi = _cmul(yr, yi, t2c, t2s)                           # T2
+            yr, yi = _cdot_r(yr, yi, wcc_ref[...], wcs_ref[...],
+                             wcsum_ref[...], dot)                      # F3 over c
+            dd = d_ref[r]
+            yr = yr * dd
+            yi = yi * dd                               # diagonal (1/L folded)
+            yr, yi = _cdot_r(yr, yi, wcc_ref[...], -wcs_ref[...],
+                             wcc_ref[...] - wcs_ref[...], dot)         # I3
+            yr, yi = _cmul(yr, yi, t2c, -t2s)                          # conj T2
+            yr, yi = _cdot(wbc_ref[...], -wbs_ref[...],
+                           wbc_ref[...] - wbs_ref[...], yr, yi, dot)   # I2
+            zr, zi = _cmul(yr, yi, c1, -s1)                            # conj T1
+            zr_ref[0, r] = zr
+            zi_ref[0, r] = zi
 
     return _middle_kernel
 
 
 def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
-    """(V, B, A, C) complex planes -> same shape, fused middle stages.
+    """(V, A, B, C) complex planes -> same shape, fused middle stages.
 
-    Grid (A/R, V): each step owns a (B, R, C) slab of R consecutive ka rows,
-    so the F2/I2 matmuls are (B,B)@(B, R*C) and F3/I3 are (B*R, C)@(C,C) —
-    full-width MXU shapes — and every reshape keeps c in the lanes.
-    The d slab is reused across the batch (v iterates fastest)."""
+    Grid (A/R, V): each step owns R consecutive ka planes of shape (B, C),
+    the natural 2-D VMEM tile, so F2/I2 are (B,B)@(B,C) and F3/I3 are
+    (B,C)@(C,C) — exact MXU shapes with no reshapes.  The d slab is reused
+    across the batch (v iterates fastest)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    V, B, A, C = yr.shape
+    V, A, B, C = yr.shape
     R = math.gcd(A, 8)
     const = pl.BlockSpec((B, C), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
     sq = lambda n: pl.BlockSpec((n, n), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((1, B, R, C), lambda a, v: (v, 0, a, 0),
+    tile = pl.BlockSpec((1, R, B, C), lambda a, v: (v, a, 0, 0),
                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((B, R, C), lambda a, v: (0, a, 0),
+    dspec = pl.BlockSpec((R, B, C), lambda a, v: (a, 0, 0),
                          memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((V, B, A, C), yr.dtype)
+    out = jax.ShapeDtypeStruct((V, A, B, C), yr.dtype)
     return pl.pallas_call(
         _make_middle_kernel(prec, R, B, C),
         grid=(A // R, V),
@@ -271,27 +273,27 @@ def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
 
 
 def _stage1_fwd(xr, xi, plan: RadixPlan, prec):
-    """(V, L) -> (V, B, A, C): DFT over the a axis (XLA einsum, MXU), output
-    in the kernel's b-major slab layout (c stays in the lanes)."""
+    """(V, L) -> (V, A, B, C): DFT over the a axis (XLA einsum, MXU), output
+    ka-major so the kernel reads contiguous (B, C) planes."""
     V = xr.shape[0]
     A, B, C = plan.A, plan.B, plan.C
     ein = functools.partial(jnp.einsum, precision=prec)
     ar = xr.reshape(V, A, B, C)
     ai = xi.reshape(V, A, B, C)
-    t1 = ein("ka,vabc->vbkc", plan.wac, ar)
-    t2 = ein("ka,vabc->vbkc", plan.was, ai)
-    t3 = ein("ka,vabc->vbkc", plan.wasum, ar + ai)
+    t1 = ein("ka,vabc->vkbc", plan.wac, ar)
+    t2 = ein("ka,vabc->vkbc", plan.was, ai)
+    t3 = ein("ka,vabc->vkbc", plan.wasum, ar + ai)
     return t1 - t2, t3 - t1 - t2
 
 
 def _stage1_inv(zr, zi, plan: RadixPlan, prec):
-    """(V, B, A, C) -> (V, L): conj DFT over the ka axis, natural order."""
+    """(V, A, B, C) -> (V, L): conj DFT over the ka axis, natural order."""
     V = zr.shape[0]
     ein = functools.partial(jnp.einsum, precision=prec)
     wc, ws = plan.wac, -plan.was
-    t1 = ein("ka,vbkc->vabc", wc, zr)
-    t2 = ein("ka,vbkc->vabc", ws, zi)
-    t3 = ein("ka,vbkc->vabc", wc + ws, zr + zi)
+    t1 = ein("ka,vkbc->vabc", wc, zr)
+    t2 = ein("ka,vkbc->vabc", ws, zi)
+    t3 = ein("ka,vkbc->vabc", wc + ws, zr + zi)
     return (t1 - t2).reshape(V, plan.L), (t3 - t1 - t2).reshape(V, plan.L)
 
 
@@ -303,18 +305,18 @@ def _apply_impl(xr, xi, d_perm, plan: RadixPlan, kprec, s1prec):
 
 def _forward_stages(xr, xi, plan: RadixPlan, prec):
     """Forward transform only, pure XLA — used for the weights cotangent.
-    Returns (V, B, A, C) planes AFTER T1/F2/T2/F3 (d_perm's layout)."""
+    Returns (V, A, B, C) planes AFTER T1/F2/T2/F3 (d_perm's layout)."""
     A, B, C = plan.A, plan.B, plan.C
-    yr, yi = _stage1_fwd(xr, xi, plan, prec)  # (V, B, A, C)
-    ka = jnp.arange(A, dtype=yr.dtype).reshape(A, 1)
-    ang = plan.theta.reshape(B, 1, C) * ka[None]
+    yr, yi = _stage1_fwd(xr, xi, plan, prec)  # (V, A, B, C)
+    ka = jnp.arange(A, dtype=yr.dtype).reshape(1, A, 1, 1)
+    ang = plan.theta.reshape(1, 1, B, C) * ka
     yr, yi = _cmul(yr, yi, jnp.cos(ang), jnp.sin(ang))
     ein = functools.partial(jnp.einsum, precision=prec)
-    rr = ein("kb,vbac->vkac", plan.wbc, yr) - ein("kb,vbac->vkac", plan.wbs, yi)
-    ri = ein("kb,vbac->vkac", plan.wbc, yi) + ein("kb,vbac->vkac", plan.wbs, yr)
-    yr, yi = _cmul(rr, ri, plan.t2c.reshape(B, 1, C), plan.t2s.reshape(B, 1, C))
-    rr = ein("vbac,ck->vbak", yr, plan.wcc) - ein("vbac,ck->vbak", yi, plan.wcs)
-    ri = ein("vbac,ck->vbak", yi, plan.wcc) + ein("vbac,ck->vbak", yr, plan.wcs)
+    rr = ein("kb,vabc->vakc", plan.wbc, yr) - ein("kb,vabc->vakc", plan.wbs, yi)
+    ri = ein("kb,vabc->vakc", plan.wbc, yi) + ein("kb,vabc->vakc", plan.wbs, yr)
+    yr, yi = _cmul(rr, ri, plan.t2c.reshape(1, 1, B, C), plan.t2s.reshape(1, 1, B, C))
+    rr = ein("vabc,ck->vabk", yr, plan.wcc) - ein("vabc,ck->vabk", yi, plan.wcs)
+    ri = ein("vabc,ck->vabk", yi, plan.wcc) + ein("vabc,ck->vabk", yr, plan.wcs)
     return rr, ri
 
 

@@ -82,5 +82,5 @@ def test_spectrum_evenness_preserved_through_permute():
     rng = np.random.default_rng(2)
     d = _even_spectrum(L, rng)
     dperm = permute_weights(jnp.asarray(d), plan)
-    assert dperm.shape == (plan.B, plan.A, plan.C)
+    assert dperm.shape == (plan.A, plan.B, plan.C)
     np.testing.assert_allclose(float(jnp.sum(dperm)) * L, d.sum(), rtol=1e-12)
