@@ -35,7 +35,7 @@ the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
 bf16 hi/lo 3-pass splits, see `_make_dot`) 2.3e-5 — well under the f32
 truncated-PCG floor; DEFAULT ~5.8e-3 and *slower* (rejected, RESULTS §11).
 Measured in-graph at the headline shape (packed batch-4, L = 2^21):
-2.77 ms/apply = stage-1 fwd ~1.1 + middle kernel 1.17 + stage-1 inv 0.88,
+2.50 ms/apply = Pallas stage-1 fwd 0.65 + middle kernel 1.17 + stage-1 inv ~0.65,
 vs ~10 ms for the standalone XLA c64 FFT pair; the 20-iteration whitening
 solve runs 44.3 vs 59.0 ms against the XLA-FFT path at matched protocol.
 
@@ -272,11 +272,63 @@ def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
       plan.wcc, plan.wcs, plan.wcsum, d_perm, yr, yi)
 
 
+def _make_s1_kernel(prec):
+    def kernel(wc_ref, ws_ref, wsum_ref, xr_ref, xi_ref, yr_ref, yi_ref):
+        dot = _make_dot(prec, xr_ref.dtype)
+        wc = wc_ref[...]
+        ws = ws_ref[...]
+        xr = xr_ref[0]
+        xi = xi_ref[0]
+        t1 = dot(wc, xr)
+        t2 = dot(ws, xi)
+        t3 = dot(wsum_ref[...], xr + xi)
+        yr_ref[0] = t1 - t2
+        yi_ref[0] = t3 - t1 - t2
+
+    return kernel
+
+
+def _stage1_pallas(xr3, xi3, wc, ws, wsum, prec):
+    """Fused Karatsuba A-axis DFT: (V, A, BC) @ (A, A) with one HBM read of
+    (xr, xi) and one write of (yr, yi) — the einsum decomposition costs
+    ~2.5x the traffic (3 dots + combines each round-tripping HBM).
+    Measured 0.65 vs 0.99 ms per packed batch-4 direction at L = 2^21."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, A, BC = xr3.shape
+    T = max(128, min(1024, BC, (2 * 1024 * 1024) // (A * 4)))
+    while BC % T:
+        T //= 2
+    sq = pl.BlockSpec((A, A), lambda v, t: (0, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, A, T), lambda v, t: (v, 0, t),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((V, A, BC), xr3.dtype)
+    return pl.pallas_call(
+        _make_s1_kernel(prec),
+        grid=(V, BC // T),
+        in_specs=[sq, sq, sq, tile, tile],
+        out_specs=[tile, tile],
+        out_shape=[out, out],
+    )(wc, ws, wsum, xr3, xi3)
+
+
+def _use_s1_pallas(dtype):
+    return dtype == jnp.float32 and jax.default_backend() == "tpu"
+
+
 def _stage1_fwd(xr, xi, plan: RadixPlan, prec):
-    """(V, L) -> (V, A, B, C): DFT over the a axis (XLA einsum, MXU), output
-    ka-major so the kernel reads contiguous (B, C) planes."""
+    """(V, L) -> (V, A, B, C): DFT over the a axis, output ka-major so the
+    middle kernel reads contiguous (B, C) planes.  Pallas-fused on TPU f32;
+    XLA einsum fallback elsewhere (CPU/f64 tests)."""
     V = xr.shape[0]
     A, B, C = plan.A, plan.B, plan.C
+    if _use_s1_pallas(xr.dtype):
+        yr, yi = _stage1_pallas(
+            xr.reshape(V, A, B * C), xi.reshape(V, A, B * C),
+            plan.wac, plan.was, plan.wasum, prec,
+        )
+        return yr.reshape(V, A, B, C), yi.reshape(V, A, B, C)
     ein = functools.partial(jnp.einsum, precision=prec)
     ar = xr.reshape(V, A, B, C)
     ai = xi.reshape(V, A, B, C)
@@ -289,6 +341,13 @@ def _stage1_fwd(xr, xi, plan: RadixPlan, prec):
 def _stage1_inv(zr, zi, plan: RadixPlan, prec):
     """(V, A, B, C) -> (V, L): conj DFT over the ka axis, natural order."""
     V = zr.shape[0]
+    A, B, C = plan.A, plan.B, plan.C
+    if _use_s1_pallas(zr.dtype):
+        yr, yi = _stage1_pallas(
+            zr.reshape(V, A, B * C), zi.reshape(V, A, B * C),
+            plan.wac, -plan.was, plan.wac - plan.was, prec,
+        )
+        return yr.reshape(V, plan.L), yi.reshape(V, plan.L)
     ein = functools.partial(jnp.einsum, precision=prec)
     wc, ws = plan.wac, -plan.was
     t1 = ein("ka,vkbc->vabc", wc, zr)
