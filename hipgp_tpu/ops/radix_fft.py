@@ -18,17 +18,22 @@ as Cooley-Tukey three-stage with twiddles:
 where T1[ka,m] = exp(-2 pi i ka m / L), T2[kb,c] = exp(-2 pi i kb c / (BC)).
 The circulant apply never needs natural output order: the diagonal d is
 pre-permuted into stage order (a pure reshape/transpose for pow2 factors)
-and the inverse transform consumes stage order directly.  The apply becomes
+and the inverse transform consumes stage order directly.  The apply is
+three Pallas kernels:
 
-  stage F1 (XLA einsum over a)  ->  PALLAS KERNEL  ->  stage I1 (XLA einsum)
+  stage F1 (fused Karatsuba A-point DFT)  ->  MIDDLE  ->  stage I1 (conj)
 
-with the Pallas kernel fusing, per (ka, batch) tile of shape (B, C):
-T1 multiply (phases computed in-kernel from a resident theta row — zero
-twiddle traffic), W_B matmul, T2 multiply, W_C matmul, diagonal multiply,
-conj W_C matmul, conj T2, conj W_B, conj T1 — four Karatsuba complex MXU
-matmuls (3 real dots each) and the VPU elementwise chain, one HBM read +
-one write for the whole middle.  The d tile is reused across the batch
-(grid iterates the batch fastest).
+The middle kernel owns R consecutive ka planes of shape (B, C) — each a
+natural 2-D VMEM tile, so every dot is a plain (128,128)-class MXU matmul
+with zero in-kernel relayouts — and fuses, per plane: T1 multiply (phases
+computed in-kernel from a resident theta tile — zero twiddle traffic),
+W_B matmul, T2 multiply, W_C matmul, diagonal multiply, conj W_C, conj
+T2, conj W_B, conj T1 — four Karatsuba complex matmuls (3 real dots each)
+plus the VPU elementwise chain, one HBM read + one write for the whole
+middle.  The d slab is reused across the batch (grid iterates the batch
+fastest).  The stage-1 kernels fuse the 3 Karatsuba dots + combines into
+one read/write of the packed planes (the einsum decomposition costs ~2.5x
+the traffic).
 
 Precision (measured at L = 2^21 vs the f64 oracle): all-HIGHEST 2.5e-7;
 the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
@@ -58,11 +63,11 @@ __all__ = ["RadixPlan", "make_plan", "permute_weights", "fused_circulant_apply",
 _LANE = 128
 HIGHEST = jax.lax.Precision.HIGHEST
 HIGH = jax.lax.Precision.HIGH
-# The stage-1 XLA einsums run at HIGH (3-pass bf16): measured 12.0 -> 8.3 ms
-# per packed batch-4 apply at L = 2^21 (-31%) for 2.1e-5 rel err vs the f64
-# oracle (2.5e-7 at HIGHEST) — well under the f32 truncated-PCG floor.  The
-# Pallas middle stays HIGHEST (Mosaic offers only DEFAULT/HIGHEST, and
-# DEFAULT measured slower AND 5.8e-3 wrong).  Policy set from the sweep in
+# All dots run at the HIGH policy: stage-1 HIGH measured -31%% over HIGHEST
+# at 2.1e-5 rel err (2.5e-7 at HIGHEST) — well under the f32 truncated-PCG
+# floor; in-kernel HIGH is emulated via bf16 hi/lo 3-pass splits
+# (`_make_dot`; Mosaic exposes only DEFAULT/HIGHEST, and DEFAULT measured
+# slower AND 5.8e-3 wrong).  Policy set from the sweep in
 # experiments/precision_study.py (RESULTS §11).
 STAGE1_PRECISION = HIGH
 
