@@ -166,6 +166,139 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
     return rows
 
 
+def _induce_grid(m1, to_jax=True):
+    import numpy as _np
+
+    g = _np.linspace(-1.0, 1.0, m1)
+    xx, yy = _np.meshgrid(g, g, indexing="ij")
+    return _np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+
+
+def run_ref_svgp(data, args):
+    """Live reference dense SVGP natgrad (`ziggy/svgp.py`, f64 — it asserts
+    doubles) under the same `svi_gp.py` loop semantics."""
+    from .ref_compat import import_ziggy
+
+    import_ziggy()
+    import torch
+    from ziggy import kernels as zk
+    from ziggy.svgp import SVGP as RefSVGP
+
+    torch.manual_seed(args.seed)
+    xind = torch.tensor(_induce_grid(args.m1), dtype=torch.double)
+    # whitened=True: the reference's unwhitened kn path hardcodes .cuda()
+    # (`ziggy/svgp.py:124`, its known device bug) — the whitened branch is
+    # the CPU-safe reference mode, mirrored on the jax side.
+    mod = RefSVGP(zk.SqExp(), xind, num_obs=args.nobs, sig2_init=args.sig2,
+                  ell_init=args.ell, learn_kernel=False, whitened=True,
+                  dtype=torch.double)
+
+    # minimal fix for the reference bug at `ziggy/svgp.py:297`:
+    # elbo_and_grad calls _make_kn_vectors(Knm) bare and unpacks (kn, Kmm),
+    # but the default is return_Kmm=False.  Only the bare call (None
+    # sentinel) gets the tuple; the explicit return_Kmm=False call sites
+    # (:150, :199, :257) keep their single-return contract.
+    orig_mkv = mod._make_kn_vectors
+
+    def _mkv(Knm, Kmm=None, return_Kmm=None):
+        if return_Kmm is None:
+            return orig_mkv(Knm, Kmm=Kmm, return_Kmm=True)
+        return orig_mkv(Knm, Kmm=Kmm, return_Kmm=return_Kmm)
+
+    mod._make_kn_vectors = _mkv
+
+    x = torch.tensor(data["xobs"], dtype=torch.double)
+    y = torch.tensor(data["yobs"], dtype=torch.double)[:, None]
+    s = torch.tensor(data["sobs"], dtype=torch.double)[:, None]
+    xt = torch.tensor(data["xtest"], dtype=torch.double)
+
+    opt = torch.optim.SGD([mod.global_theta1, mod.global_theta2], lr=args.lr)
+    sched = (torch.optim.lr_scheduler.StepLR(opt, step_size=1,
+                                             gamma=args.step_decay)
+             if args.schedule_lr else None)
+    nb = -(-args.nobs // args.batch_size)
+    rows = []
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        elbos = []
+        for b in range(nb):
+            sl = slice(b * args.batch_size,
+                       min((b + 1) * args.batch_size, args.nobs))
+            opt.zero_grad()
+            lval = mod.elbo_and_grad(x[sl], y[sl], s[sl])
+            opt.step()
+            if sched is not None:
+                sched.step()
+            elbos.append(float(lval))
+        with torch.no_grad():
+            mu, _ = mod.predict(xt)
+        rows.append({
+            "epoch": epoch, "elbo": float(np.mean(elbos)),
+            "rmse": _rmse(mu.squeeze(-1).numpy(), data["ftest"]),
+            "secs": time.time() - t0,
+        })
+        print("ref-svgp", rows[-1], flush=True)
+    return rows
+
+
+def run_jax_svgp(data, args):
+    """Same dense-SVGP protocol through svigp_fit (f64 CPU, as the
+    reference requires doubles).
+
+    Two documented reference quirks are mirrored for comparability:
+    * `ziggy/svgp.py:356-357` scales the natural gradient by 1000/N before
+      SGD (a hard-coded rescale our SVGP deliberately drops) — reproduced
+      here by scaling the learning rate;
+    * `ziggy/svgp.py:318-326` omits the Gaussian normalizer
+      -0.5 ln(2 pi sigma^2) from the per-point data term (its own HIPGP
+      includes it) — our reported ELBO is shifted into the reference's
+      convention.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ..infer.fit import FitConfig, batch_predict, svigp_fit
+    from ..kernels import SqExp
+    from ..models.svgp import SVGP
+
+    dt = jnp.float64
+    model = SVGP(SqExp(), jnp.asarray(_induce_grid(args.m1), dt),
+                 num_obs=args.nobs, sig2_init=args.sig2, ell_init=args.ell,
+                 whitened=True)
+    state = model.init_state()
+
+    normalizer = float(np.mean(np.log(data["sobs"])) + 0.5 * np.log(2 * np.pi))
+
+    cfg = FitConfig(
+        epochs=args.epochs, batch_size=args.batch_size,
+        lr=args.lr * 1000.0 / args.nobs,
+        schedule_lr=args.schedule_lr, step_decay=args.step_decay,
+        maxiter_cg=args.maxiter_cg, shuffle=False, seed=args.seed,
+        epoch_log_interval=0,
+    )
+    rows = []
+
+    def cb(epoch, model_, state_, trace):
+        t0 = time.time()
+        mu, _ = batch_predict(model_, state_, jnp.asarray(data["xtest"], dt))
+        nb = -(-args.nobs // args.batch_size)
+        rows.append({
+            "epoch": epoch,
+            "elbo": float(np.mean(trace[-nb:])) + normalizer,
+            "rmse": _rmse(mu, data["ftest"]),
+            "secs": time.time() - t0,
+        })
+        print("jax-svgp", rows[-1], flush=True)
+
+    svigp_fit(model, state, jnp.asarray(data["xobs"], dt),
+              jnp.asarray(data["yobs"], dt), jnp.asarray(data["sobs"], dt),
+              cfg, epoch_callback=cb, verbose=False)
+    return rows
+
+
 def run_solve(data, args):
     """Closed-form mean-field optimum at the SAME hypers — the natgrad
     trajectory's asymptote (gap target for RESULTS §12)."""
@@ -225,8 +358,22 @@ def _read(path):
 
 def compare(args):
     out = {}
-    ref = _read(os.path.join(args.output_dir, "ref.csv"))
-    for tag in ("jax", "chol"):
+    pairs = [("ref.csv", ("jax", "chol"))]
+    if os.path.exists(os.path.join(args.output_dir, "ref-svgp.csv")):
+        pairs.append(("ref-svgp.csv", ("jax-svgp",)))
+    for refname, tags in pairs:
+        _compare_one(args, out, refname, tags)
+    with open(os.path.join(args.output_dir, "compare.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def _compare_one(args, out, refname, tags):
+    refpath = os.path.join(args.output_dir, refname)
+    if not os.path.exists(refpath):
+        return
+    ref = _read(refpath)
+    for tag in tags:
         p = os.path.join(args.output_dir, f"{tag}.csv")
         if not os.path.exists(p):
             continue
@@ -242,16 +389,13 @@ def compare(args):
             "final_rmse": (ref[n - 1]["rmse"], got[n - 1]["rmse"]),
         }
         print(tag, json.dumps(out[tag], indent=1), flush=True)
-    with open(os.path.join(args.output_dir, "compare.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    return out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--modes", nargs="+",
                    default=["ref", "jax", "chol", "compare"],
-                   choices=["ref", "jax", "chol", "solve", "compare"])
+                   choices=["ref", "jax", "chol", "solve", "ref-svgp", "jax-svgp", "compare"])
     p.add_argument("--nobs", type=int, default=2000)
     p.add_argument("--ntest", type=int, default=1000)
     p.add_argument("--m1", type=int, default=16)
@@ -294,6 +438,12 @@ def main(argv=None):
                os.path.join(args.output_dir, "jax.csv"))
     if "solve" in args.modes:
         _write(run_solve(data, args), os.path.join(args.output_dir, "solve.csv"))
+    if "ref-svgp" in args.modes:
+        _write(run_ref_svgp(data, args),
+               os.path.join(args.output_dir, "ref-svgp.csv"))
+    if "jax-svgp" in args.modes:
+        _write(run_jax_svgp(data, args),
+               os.path.join(args.output_dir, "jax-svgp.csv"))
     if "chol" in args.modes:
         _write(run_jax(data, args, "cholesky", "chol"),
                os.path.join(args.output_dir, "chol.csv"))

@@ -58,3 +58,30 @@ def test_rmse_trajectory_matches_live_reference(trajectories):
     ref, jax_rows = trajectories
     for r, j in zip(ref, jax_rows):
         np.testing.assert_allclose(j["rmse"], r["rmse"], rtol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def svgp_trajectories():
+    from hipgp_tpu.experiments.natgrad_trajectory import run_jax_svgp, run_ref_svgp
+    from hipgp_tpu.experiments.synthetic_data import make_two_dim_data
+
+    args = _args(nobs=300, ntest=100, m1=5, epochs=3, batch_size=100,
+                 maxiter_cg=0)
+    data = make_two_dim_data(
+        Nobs=args.nobs, Ntest=args.ntest, noise_std=args.noise,
+        gridnum=args.gridnum, seed=args.seed,
+    )
+    return run_ref_svgp(data, args), run_jax_svgp(data, args)
+
+
+def test_svgp_trajectory_matches_live_reference(svgp_trajectories):
+    """Dense-SVGP natgrad vs the live reference (whitened mode; the
+    reference's hard-coded 1000/N natgrad rescale and omitted Gaussian
+    normalizer are mirrored by the driver — `run_jax_svgp` docstring)."""
+    ref, jax_rows = svgp_trajectories
+    assert len(ref) == len(jax_rows) == 3
+    for r, j in zip(ref, jax_rows):
+        # ~2e-10 rel: cholesky/triangular-solve last-ulp differences
+        # between the linalg stacks compounding over epochs
+        np.testing.assert_allclose(j["elbo"], r["elbo"], rtol=1e-8)
+        np.testing.assert_allclose(j["rmse"], r["rmse"], rtol=1e-8)
