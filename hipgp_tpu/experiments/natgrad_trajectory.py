@@ -56,19 +56,27 @@ def run_ref(data, args):
     import_ziggy()
     import torch
     from ziggy import kernels as zk
-    from ziggy.hipgp import MeanFieldToeplitzGP
+    from ziggy.hipgp import (BlockToeplitzGP, FullRankToeplitzGP,
+                             MeanFieldToeplitzGP)
 
     torch.manual_seed(args.seed)
     grids = [torch.linspace(-1.0, 1.0, args.m1, dtype=torch.double)
              for _ in range(2)]
-    mod = MeanFieldToeplitzGP(
-        zk.SqExp(), grids, num_obs=args.nobs, sig2_init=args.sig2,
-        ell_init=args.ell, noise2_init=args.noise ** 2,
-        learn_kernel=False, learn_noise=False, dtype=torch.double,
-    )
-    mod.global_theta1.data[:] = torch.tensor(
-        _theta1_init(mod.Mprime, args.seed), dtype=torch.double
-    )[:, None]
+    kw = dict(num_obs=args.nobs, sig2_init=args.sig2, ell_init=args.ell,
+              noise2_init=args.noise ** 2, learn_kernel=False,
+              learn_noise=False, dtype=torch.double)
+    fam = getattr(args, "family", "mean-field")
+    if fam == "mean-field":
+        mod = MeanFieldToeplitzGP(zk.SqExp(), grids, **kw)
+    elif fam == "block":
+        mod = BlockToeplitzGP(zk.SqExp(), grids,
+                              xblock_size=args.xblock_size, **kw)
+    else:
+        mod = FullRankToeplitzGP(zk.SqExp(), grids, **kw)
+    if fam != "full-rank":  # full-rank initializes theta1 = zeros
+        mod.global_theta1.data[:] = torch.tensor(
+            _theta1_init(mod.Mprime, args.seed), dtype=torch.double
+        )[:, None]
 
     x = torch.tensor(data["xobs"], dtype=torch.double)
     y = torch.tensor(data["yobs"], dtype=torch.double)[:, None]
@@ -124,15 +132,18 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
 
     dt = jnp.float32 if args.paper else jnp.float64
     grids = [jnp.linspace(-1.0, 1.0, args.m1, dtype=dt) for _ in range(2)]
+    fam = getattr(args, "family", "mean-field")
     model = HIPGP(
-        SqExp(), grids, num_obs=args.nobs, family="mean-field",
+        SqExp(), grids, num_obs=args.nobs, family=fam,
+        xblock_size=args.xblock_size,
         whitened_type=whitened_type, sig2_init=args.sig2, ell_init=args.ell,
         noise2_init=args.noise ** 2,
     )
     state = model.init_state()
-    state = state.replace(
-        theta1=jnp.asarray(_theta1_init(model.Mprime, args.seed), dt)
-    )
+    if fam != "full-rank":  # full-rank initializes theta1 = zeros
+        state = state.replace(
+            theta1=jnp.asarray(_theta1_init(model.Mprime, args.seed), dt)
+        )
 
     x = jnp.asarray(data["xobs"], dt)
     y = jnp.asarray(data["yobs"], dt)
@@ -406,6 +417,9 @@ def main(argv=None):
     p.add_argument("--step-decay", type=float, default=0.99)
     p.add_argument("--maxiter-cg", type=int, default=20)
     p.add_argument("--predict-maxiter-cg", type=int, default=50)
+    p.add_argument("--family", default="mean-field",
+                   choices=["mean-field", "block", "full-rank"])
+    p.add_argument("--xblock-size", type=int, default=5)
     p.add_argument("--ell", type=float, default=0.2)
     p.add_argument("--sig2", type=float, default=None,
                    help="default: var(y) - noise^2, the reference's rule")
