@@ -63,7 +63,7 @@ def run_ref(data, args):
     grids = [torch.linspace(-1.0, 1.0, args.m1, dtype=torch.double)
              for _ in range(2)]
     kw = dict(num_obs=args.nobs, sig2_init=args.sig2, ell_init=args.ell,
-              noise2_init=args.noise ** 2, learn_kernel=False,
+              noise2_init=args.noise ** 2, learn_kernel=args.learn_kernel,
               learn_noise=False, dtype=torch.double)
     fam = getattr(args, "family", "mean-field")
     if fam == "mean-field":
@@ -84,6 +84,8 @@ def run_ref(data, args):
     xt = torch.tensor(data["xtest"], dtype=torch.double)
 
     opt = torch.optim.SGD([mod.global_theta1, mod.global_theta2], lr=args.lr)
+    hopt = (torch.optim.Adam([mod.log_ell, mod.log_sig2], lr=args.kernel_lr)
+            if args.learn_kernel else None)
     sched = (torch.optim.lr_scheduler.StepLR(opt, step_size=1, gamma=args.step_decay)
              if args.schedule_lr else None)
     nb = -(-args.nobs // args.batch_size)
@@ -94,21 +96,30 @@ def run_ref(data, args):
         for b in range(nb):  # DataLoader(shuffle=False) order
             sl = slice(b * args.batch_size, min((b + 1) * args.batch_size, args.nobs))
             opt.zero_grad()
+            if hopt is not None:
+                hopt.zero_grad()
             lval = mod.elbo_and_grad(
                 xbatch=x[sl], ybatch=y[sl], noise_std_batch=s[sl],
                 maxiter_cg=args.maxiter_cg,
             )
+            if hopt is not None:  # `ziggy/svi_gp.py:322-326`: hyper Adam
+                (-lval).backward()  # step precedes the natgrad SGD step
+                hopt.step()
             opt.step()
             if sched is not None:
                 sched.step()
             elbos.append(float(lval))
         with torch.no_grad():
             mu, _ = mod.predict(xt, maxiter_cg=args.predict_maxiter_cg)
-        rows.append({
+        row = {
             "epoch": epoch, "elbo": float(np.mean(elbos)),
             "rmse": _rmse(mu.squeeze(-1).numpy(), data["ftest"]),
             "secs": time.time() - t0,
-        })
+        }
+        if args.learn_kernel:
+            row["sig2"] = float(torch.exp(mod.log_sig2))
+            row["ell"] = float(torch.exp(mod.log_ell))
+        rows.append(row)
         print("ref", rows[-1], flush=True)
     return rows
 
@@ -154,6 +165,7 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         schedule_lr=args.schedule_lr, step_decay=args.step_decay,
         maxiter_cg=args.maxiter_cg, shuffle=False, seed=args.seed,
+        learn_kernel=args.learn_kernel, kernel_lr=args.kernel_lr,
         epoch_log_interval=0,
     )
     rows = []
@@ -164,12 +176,18 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
             model_, state_, xt, maxiter_cg=args.predict_maxiter_cg
         )
         nb = -(-args.nobs // args.batch_size)
-        rows.append({
+        row = {
             "epoch": epoch,
             "elbo": float(np.mean(trace[-nb:])),
             "rmse": _rmse(mu, data["ftest"]),
             "secs": time.time() - t0,
-        })
+        }
+        if args.learn_kernel:
+            import jax.numpy as _jnp
+
+            row["sig2"] = float(_jnp.exp(state_.log_sig2))
+            row["ell"] = float(_jnp.exp(_jnp.atleast_1d(state_.log_ell))[0])
+        rows.append(row)
         print(tag, rows[-1], flush=True)
 
     svigp_fit(model, state, x, y, s, cfg, epoch_callback=cb, verbose=False,
@@ -399,6 +417,13 @@ def _compare_one(args, out, refname, tags):
             "final_elbo": (ref[n - 1]["elbo"], got[n - 1]["elbo"]),
             "final_rmse": (ref[n - 1]["rmse"], got[n - 1]["rmse"]),
         }
+        if "ell" in ref[0] and "ell" in got[0]:
+            out[tag]["max_abs_ell_dev"] = max(
+                abs(ref[i]["ell"] - got[i]["ell"]) for i in range(n))
+            out[tag]["max_abs_sig2_dev"] = max(
+                abs(ref[i]["sig2"] - got[i]["sig2"]) for i in range(n))
+            out[tag]["final_ell"] = (ref[n - 1]["ell"], got[n - 1]["ell"])
+            out[tag]["final_sig2"] = (ref[n - 1]["sig2"], got[n - 1]["sig2"])
         print(tag, json.dumps(out[tag], indent=1), flush=True)
 
 
@@ -417,6 +442,8 @@ def main(argv=None):
     p.add_argument("--step-decay", type=float, default=0.99)
     p.add_argument("--maxiter-cg", type=int, default=20)
     p.add_argument("--predict-maxiter-cg", type=int, default=50)
+    p.add_argument("--learn-kernel", action="store_true")
+    p.add_argument("--kernel-lr", type=float, default=1e-3)
     p.add_argument("--family", default="mean-field",
                    choices=["mean-field", "block", "full-rank"])
     p.add_argument("--xblock-size", type=int, default=5)

@@ -80,8 +80,19 @@ def install():
     def old_solve(B, A):
         return torch.linalg.solve(A, B), A
 
+    # torch<=1.7 also had .fft/.ifft as Tensor METHODS (used by the
+    # reference's gpt_fft.py:8,12 on the hyperparameter-gradient path);
+    # modern Tensor has no such attributes, so adding them is safe.
+    def method_fft(self, signal_ndim, normalized=False):
+        return old_fft(self, signal_ndim, normalized)
+
+    def method_ifft(self, signal_ndim, normalized=False):
+        return old_ifft(self, signal_ndim, normalized)
+
     torch.fft = old_fft
     torch.ifft = old_ifft
+    torch.Tensor.fft = method_fft
+    torch.Tensor.ifft = method_ifft
     torch.cholesky = old_cholesky
     torch.triangular_solve = old_triangular_solve
     torch.solve = old_solve
