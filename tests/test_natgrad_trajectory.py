@@ -26,7 +26,8 @@ def _args(**kw):
         schedule_lr=True, step_decay=0.97, maxiter_cg=10,
         predict_maxiter_cg=20, ell=0.2, sig2=0.6, noise=0.1, gridnum=30,
         seed=7, warmstart=False, paper=False,
-        family="mean-field", xblock_size=3,
+        family="mean-field", xblock_size=3, learn_kernel=False,
+        kernel_lr=1e-3,
     )
     base.update(kw)
     return types.SimpleNamespace(**base)
