@@ -77,8 +77,15 @@ def ref_solution(data):
         elbo = 0.0
         for lo in range(0, N, 100):
             sl = slice(lo, min(lo + 100, N))
+            # noise passed (bsz,), not (bsz,1): compute_batch_an's
+            # `log_noise_std = torch.log(noise_std_batch)` is never
+            # squeezed (`ziggy/hipgp.py:400,411`), so a (bsz,1) noise
+            # broadcasts an into a (bsz,bsz) matrix and the summed ELBO
+            # inflates by bsz — the flat shape yields the intended
+            # per-point an.
             elbo += torch.sum(mod.compute_batch_an(
-                xt_[sl], yt_[sl], st_[sl], qm=qm, qS=qS, maxiter_cg=50))
+                xt_[sl], yt_[sl], st_[sl].squeeze(-1), qm=qm, qS=qS,
+                maxiter_cg=50))
         elbo = elbo / N - mod.get_kl_to_prior(qm, qS) / mod.N
         mu, sig = mod.predict(torch.tensor(x[:50]), maxiter_cg=50)
     return {
