@@ -123,3 +123,65 @@ def test_batch_solve_matches_live_reference(data, ref_solution):
     mu, sig = model.predict(new, jnp.asarray(x[:50]), maxiter_cg=50)
     np.testing.assert_allclose(np.asarray(mu), ref_solution["mu"], rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(sig), ref_solution["sig"], rtol=1e-7, atol=1e-9)
+
+
+def test_integrated_obs_batch_solve_matches_live_reference(data):
+    """Line-integral (dust-map) observations through both stacks: kn comes
+    from the analytic k_semi on both sides (tight); the ELBO also needs the
+    doubly-integrated diagonal, where the reference interpolates
+    scipy-quad tables and we interpolate Gauss-Legendre tables — compared
+    at the interpolation-accuracy level."""
+    from hipgp_tpu.experiments.ref_compat import import_ziggy
+
+    import_ziggy()
+    import torch
+    from ziggy import kernels as zk
+    from ziggy.hipgp import MeanFieldToeplitzGP
+
+    import jax.numpy as jnp
+
+    from hipgp_tpu.kernels import SqExp
+    from hipgp_tpu.models.hipgp import HIPGP
+
+    x, y, s = data
+    x, y, s = x[:100], y[:100], s[:100]
+
+    grids_t = [torch.linspace(-1.0, 1.0, M1, dtype=torch.double)] * 2
+    mod = MeanFieldToeplitzGP(
+        zk.SqExp(), grids_t, num_obs=100, sig2_init=1.0, ell_init=ELL,
+        noise2_init=NOISE ** 2, learn_kernel=False, learn_noise=False,
+        dtype=torch.double,
+    )
+    xt_ = torch.tensor(x)
+    yt_ = torch.tensor(y)[:, None]
+    st_ = torch.tensor(s)[:, None]
+    with torch.no_grad():
+        Knm, _ = mod._make_grams(xt_, integrated_obs=True,
+                                 semi_integrated_estimator="analytic")
+        kn = mod.compute_kn(Knm, maxiter_cg=50)
+        ivar = 1.0 / st_ ** 2
+        lam = mod.get_identity_for_lam() + mod.get_lam(
+            ivar_noise=ivar, kn=kn, bscale=1.0, add_identity=False)
+        b = torch.sum(ivar * yt_ * kn, dim=0)
+        big = torch.eye(mod.Mprime, dtype=torch.double) + (ivar * kn).t().matmul(kn)
+        mod.global_theta2.data[:] = -0.5 * lam
+        mhat, _ = torch.solve(b[:, None], big)
+        mod.global_theta1.data[:] = (mhat.squeeze() * lam.squeeze())[:, None]
+
+    grids_j = [jnp.linspace(-1.0, 1.0, M1, dtype=jnp.float64)] * 2
+    model = HIPGP(SqExp(), grids_j, num_obs=100, family="mean-field",
+                  sig2_init=1.0, ell_init=ELL, noise2_init=NOISE ** 2,
+                  support_integrated_obs=True)
+    new = model.batch_solve(
+        model.init_state(), jnp.asarray(x), jnp.asarray(y), jnp.asarray(s),
+        batch_size=-1, maxiter_cg=50, integrated_obs=True,
+        semi_integrated_estimator="analytic",
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.theta1), mod.global_theta1.detach().numpy().ravel(),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.theta2), mod.global_theta2.detach().numpy().ravel(),
+        rtol=1e-6, atol=1e-8,
+    )
