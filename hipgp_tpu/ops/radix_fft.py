@@ -40,7 +40,7 @@ the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
 bf16 hi/lo 3-pass splits, see `_make_dot`) 2.3e-5 — well under the f32
 truncated-PCG floor; DEFAULT ~5.8e-3 and *slower* (rejected, RESULTS §11).
 Measured in-graph at the headline shape (packed batch-4, L = 2^21):
-2.50 ms/apply = Pallas stage-1 fwd 0.65 + middle kernel 1.17 + stage-1 inv ~0.65,
+2.41 ms/apply = Pallas stage-1 fwd 0.65 + middle kernel 1.04 (VT=2) + stage-1 inv ~0.65,
 vs ~10 ms for the standalone XLA c64 FFT pair; the 20-iteration whitening
 solve runs 44.3 vs 59.0 ms against the XLA-FFT path at matched protocol.
 
@@ -203,7 +203,7 @@ def _cdot_r(ar, ai, br, bi, bsum, dot):
     return t1 - t2, t3 - t1 - t2
 
 
-def _make_middle_kernel(prec, R, B, C):
+def _make_middle_kernel(prec, R, B, C, VT):
     def _middle_kernel(theta_ref, t2c_ref, t2s_ref, wbc_ref, wbs_ref,
                        wbsum_ref, wcc_ref, wcs_ref, wcsum_ref, d_ref,
                        yr_ref, yi_ref, zr_ref, zi_ref):
@@ -218,30 +218,33 @@ def _make_middle_kernel(prec, R, B, C):
         # per-ka loop: every operand is a natural 2-D (B, C) VMEM tile and
         # every dot is (128,128)@(128,128) — zero in-kernel relayouts
         # (the earlier (B,R,C)<->(B,R*C)<->(B*R,C) reshapes measured ~12%
-        # of kernel time as VPU shuffles)
+        # of kernel time as VPU shuffles).  VT batch rows share each step's
+        # phases and weights (VT=2 measured ~9% over VT=1; VT=4 exceeds
+        # VMEM at the headline shape).
         for r in range(R):
             ang = th * (a0 + r)                                        # T1 phase
             c1 = jnp.cos(ang)
             s1 = jnp.sin(ang)
-            yr = yr_ref[0, r]
-            yi = yi_ref[0, r]
-            yr, yi = _cmul(yr, yi, c1, s1)                             # T1
-            yr, yi = _cdot(wbc_ref[...], wbs_ref[...], wbsum_ref[...],
-                           yr, yi, dot)                                # F2 over b
-            yr, yi = _cmul(yr, yi, t2c, t2s)                           # T2
-            yr, yi = _cdot_r(yr, yi, wcc_ref[...], wcs_ref[...],
-                             wcsum_ref[...], dot)                      # F3 over c
             dd = d_ref[r]
-            yr = yr * dd
-            yi = yi * dd                               # diagonal (1/L folded)
-            yr, yi = _cdot_r(yr, yi, wcc_ref[...], -wcs_ref[...],
-                             wcc_ref[...] - wcs_ref[...], dot)         # I3
-            yr, yi = _cmul(yr, yi, t2c, -t2s)                          # conj T2
-            yr, yi = _cdot(wbc_ref[...], -wbs_ref[...],
-                           wbc_ref[...] - wbs_ref[...], yr, yi, dot)   # I2
-            zr, zi = _cmul(yr, yi, c1, -s1)                            # conj T1
-            zr_ref[0, r] = zr
-            zi_ref[0, r] = zi
+            for v in range(VT):
+                yr = yr_ref[v, r]
+                yi = yi_ref[v, r]
+                yr, yi = _cmul(yr, yi, c1, s1)                         # T1
+                yr, yi = _cdot(wbc_ref[...], wbs_ref[...], wbsum_ref[...],
+                               yr, yi, dot)                            # F2 over b
+                yr, yi = _cmul(yr, yi, t2c, t2s)                       # T2
+                yr, yi = _cdot_r(yr, yi, wcc_ref[...], wcs_ref[...],
+                                 wcsum_ref[...], dot)                  # F3 over c
+                yr = yr * dd
+                yi = yi * dd                           # diagonal (1/L folded)
+                yr, yi = _cdot_r(yr, yi, wcc_ref[...], -wcs_ref[...],
+                                 wcc_ref[...] - wcs_ref[...], dot)     # I3
+                yr, yi = _cmul(yr, yi, t2c, -t2s)                      # conj T2
+                yr, yi = _cdot(wbc_ref[...], -wbs_ref[...],
+                               wbc_ref[...] - wbs_ref[...], yr, yi, dot)  # I2
+                zr, zi = _cmul(yr, yi, c1, -s1)                        # conj T1
+                zr_ref[v, r] = zr
+                zi_ref[v, r] = zi
 
     return _middle_kernel
 
@@ -258,16 +261,17 @@ def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
 
     V, A, B, C = yr.shape
     R = math.gcd(A, 8)
+    VT = 2 if V % 2 == 0 else 1
     const = pl.BlockSpec((B, C), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
     sq = lambda n: pl.BlockSpec((n, n), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((1, R, B, C), lambda a, v: (v, a, 0, 0),
+    tile = pl.BlockSpec((VT, R, B, C), lambda a, v: (v, a, 0, 0),
                         memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((R, B, C), lambda a, v: (a, 0, 0),
                          memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((V, A, B, C), yr.dtype)
     return pl.pallas_call(
-        _make_middle_kernel(prec, R, B, C),
-        grid=(A // R, V),
+        _make_middle_kernel(prec, R, B, C, VT),
+        grid=(A // R, V // VT),
         in_specs=[const, const, const, sq(B), sq(B), sq(B), sq(C), sq(C),
                   sq(C), dspec, tile, tile],
         out_specs=[tile, tile],
