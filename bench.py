@@ -37,20 +37,10 @@ GUARD_RTOL = 1e-4  # f32-vs-f64 oracle; the corruption mode is ~0.3 rel
 
 
 def chain_time(f, x, reps=5, warm=3):
-    """Chained-input timing: distinct work per rep (the runtime caches
-    identical dispatches; fresh buffers run far off steady state)."""
-    import jax
+    """Chained-input steady-state timing (shared impl, utils/timing.py)."""
+    from hipgp_tpu.utils.timing import chain_time as _ct
 
-    out = jax.block_until_ready(f(x))
-    for _ in range(warm):
-        x = x * (1.0 + 1e-9)
-        out = jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = x * (1.0 + 1e-9)
-        out = f(x)
-    out = jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+    return _ct(f, x, reps=reps, warmup=warm)
 
 
 def numpy_circulant_apply_oracle(grid_h, dims, edims, ell, jitter, v):

@@ -40,18 +40,11 @@ from hipgp_tpu.ops.solve import whiten
 
 
 def time_fn(f, x, reps=5, warmup=3):
-    # chained inputs + several warmups: identical dispatches may be cached
-    # and cold buffers run ~30x slow through the remote-dispatch layer
-    out = jax.block_until_ready(f(x))
-    for _ in range(warmup):
-        x = x + 1e-9 * out[..., : x.shape[-1]].reshape(x.shape)
-        out = jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = x + 1e-9 * out[..., : x.shape[-1]].reshape(x.shape)
-        out = f(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    """Chained-input steady-state timing (shared impl, utils/timing.py)."""
+    from hipgp_tpu.utils.timing import chain_time
+
+    secs, _ = chain_time(f, x, reps=reps, warmup=warmup)
+    return secs
 
 
 def _oracle_apply(x: np.ndarray, full_eigs: np.ndarray, dims, edims):
@@ -134,6 +127,9 @@ def run_1d(bsz: int, reps: int):
     rows = []
 
     def measure(name, use_radix, precision):
+        """precision=None measures the SHIPPED policy (HIGH stage-1 +
+        bf16 hi/lo HIGH-emulated kernel dots); an explicit precision is
+        patched into BOTH the kernel dots and the stage-1 transforms."""
         bttb.USE_RADIX_FFT = use_radix
         radix_fft._get_apply.cache_clear()
         old_default = None
@@ -164,7 +160,8 @@ def run_1d(bsz: int, reps: int):
                 radix_fft.fused_circulant_apply.__defaults__ = old_default
             radix_fft._get_apply.cache_clear()
 
-    measure("radix-HIGHEST", True, None)
+    measure("radix-shipped-HIGH", True, None)
+    measure("radix-all-HIGHEST", True, jax.lax.Precision.HIGHEST)
     measure("radix-DEFAULT", True, jax.lax.Precision.DEFAULT)
     measure("xla-fft", False, None)
     return rows

@@ -27,19 +27,11 @@ CHOLESKY_MAX_M = 50_000
 
 
 def time_fn(f, x, reps=5, warmup=3):
-    # several chained warmups: the runtime's first executions of a program
-    # on fresh operand buffers run far slower than steady state (measured
-    # ~30x on v5e through the remote-dispatch layer)
-    out = jax.block_until_ready(f(x))
-    for _ in range(warmup):
-        x = x + 1e-9 * out[:, : x.shape[1]]
-        out = jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x = x + 1e-9 * out[:, : x.shape[1]]
-        out = f(x)
-    out = jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    """Chained-input steady-state timing (shared impl, utils/timing.py)."""
+    from ..utils.timing import chain_time
+
+    secs, _ = chain_time(f, x, reps=reps, warmup=warmup)
+    return secs
 
 
 def main(argv=None):

@@ -73,7 +73,12 @@ STAGE1_PRECISION = HIGH
 
 
 def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
-    """L = A*B*C with C = 128, B in [8,128], A in [8,2048], all pow2."""
+    """L = A*B*C with C = 128, B in [8,128], A in [8,512], all pow2.
+
+    A is capped at 512 by VMEM: the stage-1 kernel holds three (A, A) f32
+    DFT tables plus four (A, T) I/O tiles (~11 MB at A=512); A=1024 needs
+    12 MB of tables alone and cannot compile.  Longer lengths (L > 2^23)
+    fall back to the XLA FFT path via radix_supported()."""
     if L <= 0 or L & (L - 1):
         return None
     C = _LANE
@@ -84,7 +89,7 @@ def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
     for B in (128, 64, 32, 16, 8):
         if rest % B == 0:
             A = rest // B
-            if 8 <= A <= 2048:
+            if 8 <= A <= 512:
                 return A, B, C
     return None
 

@@ -212,12 +212,10 @@ def local_circulant_apply(
     dtype = x.dtype
     edims = info.edims
     max_len = info.matmul_max_len
-    is_complex = False
     # analysis over the local trailing axes, minor first (contraction order
     # is a measured 13x lever on TPU — see ops/bttb.py)
     for a in range(-1, -nd, -1):
         x = _axis_transform_local(x, edims[a], a, dtype, False, max_len)
-        is_complex = is_complex or not (edims[a] <= max_len)
     # (B, L0/n, ..., Lm) -> (B, L0, ..., Lm/n)
     x = jax.lax.all_to_all(x, axis_name, split_axis=x.ndim - 1, concat_axis=1,
                            tiled=True)

@@ -170,17 +170,10 @@ def _local_mf_standard_params(model, theta1_loc, theta2_loc):
 
 
 def _pad_rows(arrays, total, fills):
-    out = []
-    for a, fill in zip(arrays, fills):
-        if a is None:
-            out.append(None)
-            continue
-        pad = total - a.shape[0]
-        if pad:
-            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-            a = jnp.pad(a, width, constant_values=fill)
-        out.append(a)
-    return out
+    """Leading-axis pad to ``total`` (shared contract with dp's padding)."""
+    from .dp import _pad_to
+
+    return _pad_to(total, *arrays, fills=fills)
 
 
 def mp_batch_solve(
