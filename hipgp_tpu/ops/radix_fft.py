@@ -311,7 +311,12 @@ def _stage1_pallas(xr3, xi3, wc, ws, wsum, prec):
     from jax.experimental.pallas import tpu as pltpu
 
     V, A, BC = xr3.shape
-    T = max(128, min(1024, BC, (2 * 1024 * 1024) // (A * 4)))
+    # VMEM budget: 3 (A,A) f32 tables + 4 I/O blocks of (A,T) f32, each
+    # double-buffered by the pipeline (~8 live block instances) must stay
+    # under the 16MB scoped limit; clamp T to the largest power of two
+    # that fits (BC is a power of two, so divisibility is automatic)
+    budget = max(128, (10 * 1024 * 1024) // (A * 4 * 8))
+    T = min(1024, BC, 1 << (budget.bit_length() - 1))
     while BC % T:
         T //= 2
     sq = pl.BlockSpec((A, A), lambda v, t: (0, 0), memory_space=pltpu.VMEM)
