@@ -73,12 +73,11 @@ STAGE1_PRECISION = HIGH
 
 
 def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
-    """L = A*B*C with C = 128, B in [8,128], A in [8,512], all pow2.
+    """L = A*B*C with C = 128, B in [8,128], A in [8,2048], all pow2.
 
-    A is capped at 512 by VMEM: the stage-1 kernel holds three (A, A) f32
-    DFT tables plus four (A, T) I/O tiles (~11 MB at A=512); A=1024 needs
-    12 MB of tables alone and cannot compile.  Longer lengths (L > 2^23)
-    fall back to the XLA FFT path via radix_supported()."""
+    Above A=512 the stage-1 kernel blocks its output k-axis so the DFT
+    table slices fit scoped VMEM (see `_stage1_pallas`); L up to 2^25 is
+    supported, longer falls back to the XLA FFT path."""
     if L <= 0 or L & (L - 1):
         return None
     C = _LANE
@@ -89,7 +88,7 @@ def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
     for B in (128, 64, 32, 16, 8):
         if rest % B == 0:
             A = rest // B
-            if 8 <= A <= 512:
+            if 8 <= A <= 2048:
                 return A, B, C
     return None
 
@@ -306,28 +305,39 @@ def _stage1_pallas(xr3, xi3, wc, ws, wsum, prec):
     """Fused Karatsuba A-axis DFT: (V, A, BC) @ (A, A) with one HBM read of
     (xr, xi) and one write of (yr, yi) — the einsum decomposition costs
     ~2.5x the traffic (3 dots + combines each round-tripping HBM).
-    Measured 0.65 vs 0.99 ms per packed batch-4 direction at L = 2^21."""
+    Measured 0.65 vs 0.99 ms per packed batch-4 direction at L = 2^21.
+
+    For A > 512 the full (A, A) tables no longer fit scoped VMEM next to
+    the I/O blocks, so the output k-axis is blocked: grid gains a fastest
+    k dimension with (KB, A) table slices, and the x block's index map is
+    k-independent, so Pallas keeps it resident across the k steps (no
+    re-fetch traffic)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     V, A, BC = xr3.shape
-    # VMEM budget: 3 (A,A) f32 tables + 4 I/O blocks of (A,T) f32, each
-    # double-buffered by the pipeline (~8 live block instances) must stay
-    # under the 16MB scoped limit; clamp T to the largest power of two
-    # that fits (BC is a power of two, so divisibility is automatic)
-    budget = max(128, (10 * 1024 * 1024) // (A * 4 * 8))
+    # table budget ~6MB: 3 slices of (KB, A) f32 -> KB <= 512K/A, pow2
+    kb_max = max(128, 1 << (((6 * 1024 * 1024) // (12 * A)).bit_length() - 1))
+    KB = min(A, kb_max)
+    # VMEM budget: 3 (KB, A) f32 tables + 2 input blocks of (A, T) +
+    # 2 output blocks of (KB, T), each double-buffered (~2 live instances)
+    # must stay under the 16MB scoped limit; clamp T to the largest power
+    # of two that fits (BC is a power of two, so divisibility is automatic)
+    budget = max(128, (10 * 1024 * 1024 - 3 * KB * A * 4) // ((A + KB) * 4 * 4))
     T = min(1024, BC, 1 << (budget.bit_length() - 1))
     while BC % T:
         T //= 2
-    sq = pl.BlockSpec((A, A), lambda v, t: (0, 0), memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((1, A, T), lambda v, t: (v, 0, t),
-                        memory_space=pltpu.VMEM)
+    sq = pl.BlockSpec((KB, A), lambda v, t, k: (k, 0), memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((1, A, T), lambda v, t, k: (v, 0, t),
+                         memory_space=pltpu.VMEM)
+    ytile = pl.BlockSpec((1, KB, T), lambda v, t, k: (v, k, t),
+                         memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((V, A, BC), xr3.dtype)
     return pl.pallas_call(
         _make_s1_kernel(prec),
-        grid=(V, BC // T),
-        in_specs=[sq, sq, sq, tile, tile],
-        out_specs=[tile, tile],
+        grid=(V, BC // T, A // KB),
+        in_specs=[sq, sq, sq, xtile, xtile],
+        out_specs=[ytile, ytile],
         out_shape=[out, out],
     )(wc, ws, wsum, xr3, xi3)
 
