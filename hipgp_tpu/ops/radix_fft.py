@@ -1,7 +1,7 @@
 """Fused radix-2^k circulant apply: MXU three-stage DFT with a Pallas core.
 
 The headline HIP-GP op is the circulant apply y = F^{-1}(d * F x) on a long
-power-of-two axis (L = 2 M - 2 up to 2^21 for the M = 2^20 whitening solve,
+power-of-two axis (L = 2 M - 2, supported up to 2^25; 2^21 for the M = 2^20 headline,
 reference protocol `experiments-hip-gp/run_pcg_vs_cholesky.py`).  XLA's TPU
 FFT runs it at ~45-90 GB/s effective — ~10x off the HBM roofline — and any
 XLA-level composition of smaller stages materializes every intermediate in
