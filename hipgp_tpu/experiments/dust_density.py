@@ -136,10 +136,16 @@ def sph_deposit(
     right = np.asarray(right_edge, dtype=np.float32)
     dims = tuple(int(d) for d in dims)
     cell = (right - left) / np.asarray(dims, dtype=np.float32)
-    # window must cover support radius 2h in cells; clip oversized h
-    max_h = float(cell.min()) * (max_window - 1) / 2.0 / 2.0
+    # window must cover support radius 2h in cells MEASURED FROM THE
+    # PARTICLE, which sits up to one cell past its floor-biased base-cell
+    # center — budget one extra cell per side both in the h clip and in the
+    # window size, or upper-cell particles lose kernel-tail contributions
+    max_h = float(cell.min()) * ((max_window - 1) // 2 - 1) / 2.0
     hs = np.minimum(hs, max_h)
-    need = int(np.ceil(2.0 * hs.max() / cell.min())) * 2 + 1 if len(hs) else 1
+    need = (
+        (int(np.ceil(2.0 * hs.max() / cell.min())) + 1) * 2 + 1
+        if len(hs) else 1
+    )
     window = min(max(need, 3), max_window)
 
     grid = jnp.zeros(int(np.prod(dims)), dtype=jnp.float32)

@@ -562,7 +562,9 @@ def _fft_apply_core(
         use_radix = radix_supported(edims[0])
     if use_radix:
         # fused Pallas three-stage DFT: 17% faster than XLA's FFT at the
-        # headline L = 2^21 shape, 4.7e-7 agreement (see ops/radix_fft.py)
+        # headline L = 2^21 shape; shipped HIGH policy measures 2.3e-5 vs
+        # the f64 oracle (4.7e-7 belongs to the slower all-HIGHEST variant
+        # — see ops/radix_fft.py precision table)
         from .radix_fft import fused_circulant_apply, make_plan, permute_weights
 
         plan = make_plan(edims[0], v.dtype)

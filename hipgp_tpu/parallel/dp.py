@@ -54,12 +54,17 @@ def dp_batch_solve(
     semi_integrated_estimator: str = "analytic",
     semi_integrated_samps: int = 10,
     axis: str = "dp",
+    row_weights: Optional[jnp.ndarray] = None,
 ):
     """Closed-form batch_solve with the data dimension sharded over ``axis``.
 
     Each device accumulates (Lambda, b, big) over its shard with the exact
     same ``accumulate_lam_b`` unit the single-chip path uses, psums across
     the mesh, and finalizes on replicated accumulators.
+
+    ``row_weights``: optional (N,) 0/1 mask of REAL rows — pass
+    ``multihost.global_row_weights(...)`` when the inputs were assembled by
+    ``multihost.global_batch`` with pad rows (N not divisible by nprocs).
     """
     ndev = mesh.shape[axis]
     N = xobs.shape[0]
@@ -75,14 +80,17 @@ def dp_batch_solve(
     nsteps = -(-N // chunk)
     total = nsteps * chunk
 
-    w = jnp.ones((N,), model.dtype)
+    if row_weights is not None:
+        w = row_weights.reshape(-1).astype(model.dtype)
+    else:
+        w = jnp.ones((N,), model.dtype)
 
     spec_b = P(None, axis)  # (step, data) with data sharded
     spec_bx = P(None, axis, None)
 
     addressable = all(
         getattr(a, "is_fully_addressable", True)
-        for a in (xobs, y, ns) if a is not None
+        for a in (xobs, y, ns, row_weights) if a is not None
     )
     if addressable:
         x_p, y_p, w_p, ns_p = _pad_to(

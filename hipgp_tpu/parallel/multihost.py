@@ -34,6 +34,7 @@ __all__ = [
     "is_initialized",
     "global_mesh",
     "global_batch",
+    "global_row_weights",
     "process_slice",
     "on_coordinator",
     "sync_global",
@@ -91,22 +92,33 @@ def global_mesh(
 
 
 def process_slice(n_global: int) -> slice:
-    """Rows of a length-n_global dataset owned by this process (contiguous
-    block partition; the remainder goes to the last process)."""
+    """Rows of a length-n_global dataset owned by this process: contiguous
+    ceil(n/nprocs)-sized blocks (the LAST process's block may be shorter —
+    :func:`global_batch` pads it back to the common block size)."""
     import jax
 
     p, np_ = jax.process_index(), jax.process_count()
-    per = n_global // np_
-    lo = p * per
-    hi = n_global if p == np_ - 1 else lo + per
+    per = -(-n_global // np_)
+    lo = min(p * per, n_global)
+    hi = min(lo + per, n_global)
     return slice(lo, hi)
 
 
-def global_batch(mesh, local_rows, mesh_axis: str = "dp"):
+def global_batch(mesh, local_rows, mesh_axis: str = "dp",
+                 n_global: Optional[int] = None, fill: float = 0.0):
     """Assemble per-process row shards into ONE global array whose leading
     axis is sharded over ``mesh_axis``.  ``local_rows`` is this process's
-    block (see :func:`process_slice`); every process must contribute the
-    same shape except possibly the last (padded here to equal blocks).
+    block (see :func:`process_slice`).
+
+    ``jax.make_array_from_process_local_data`` infers the global shape from
+    equal per-process contributions, so every process MUST pass the same
+    block shape — and the global row count must tile over every device on
+    ``mesh_axis``.  Pass ``n_global`` (the true row count) whenever it may
+    not divide the device count: each block is padded with ``fill`` rows up
+    to ceil(n_global/nprocs) rounded to the per-process device count, and
+    the pad rows are masked with :func:`global_row_weights`
+    (``dp_batch_solve(..., row_weights=...)``).  Use ``fill=1.0`` for
+    noise-std arrays so 1/ns^2 stays finite on pads.
 
     This is the host->device on-ramp for multi-host DP: each host feeds
     only its own rows; no host ever materializes the full dataset."""
@@ -114,10 +126,39 @@ def global_batch(mesh, local_rows, mesh_axis: str = "dp"):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     local_rows = np.asarray(local_rows)
+    if n_global is not None:
+        per = _rows_per_process(mesh, mesh_axis, n_global)
+        pad = per - local_rows.shape[0]
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (local_rows.ndim - 1)
+            local_rows = np.pad(local_rows, width, constant_values=fill)
     spec = P(*([mesh_axis] + [None] * (local_rows.ndim - 1)))
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, spec), local_rows
     )
+
+
+def _rows_per_process(mesh, mesh_axis: str, n_global: int) -> int:
+    """Common per-process block size: ceil(n/nprocs), rounded up so the
+    assembled global rows tile evenly over every device on ``mesh_axis``."""
+    import jax
+
+    nprocs = jax.process_count()
+    axis_size = int(mesh.shape[mesh_axis])
+    dev_per_proc = max(1, axis_size // nprocs)
+    per = -(-n_global // nprocs)
+    return -(-per // dev_per_proc) * dev_per_proc
+
+
+def global_row_weights(mesh, n_global: int, mesh_axis: str = "dp",
+                       dtype=np.float64):
+    """Global 0/1 weights marking the REAL rows of a
+    :func:`global_batch`-assembled array (0 on each process's pad rows)."""
+    import jax
+
+    sl = process_slice(n_global)
+    local = np.ones((sl.stop - sl.start,), dtype)
+    return global_batch(mesh, local, mesh_axis, n_global=n_global, fill=0.0)
 
 
 def on_coordinator() -> bool:

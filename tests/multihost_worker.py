@@ -42,7 +42,9 @@ from hipgp_tpu.kernels import SqExp
 from hipgp_tpu.models.hipgp import HIPGP
 from hipgp_tpu.parallel.dp import dp_batch_solve
 
-N = 240
+# N NOT divisible by nprocs: exercises the uneven-block padding contract
+# (process_slice equal ceil-blocks + global_batch pad + row_weights mask)
+N = 241
 rng = np.random.default_rng(0)
 x_all = rng.uniform(-1, 1, (N, 2))
 y_all = np.sin(3 * x_all[:, 0]) * np.cos(2 * x_all[:, 1])
@@ -56,11 +58,13 @@ model = HIPGP(SqExp(), grids, num_obs=N, family="mean-field", ell_init=0.3,
               noise2_init=0.01)
 state = model.init_state()
 
-xg = multihost.global_batch(mesh, x_all[sl])
-yg = multihost.global_batch(mesh, y_all[sl])
-sg = multihost.global_batch(mesh, s_all[sl])
+xg = multihost.global_batch(mesh, x_all[sl], n_global=N)
+yg = multihost.global_batch(mesh, y_all[sl], n_global=N)
+sg = multihost.global_batch(mesh, s_all[sl], n_global=N, fill=1.0)
+wg = multihost.global_row_weights(mesh, N)
 
-new = dp_batch_solve(model, state, xg, yg, sg, mesh, maxiter_cg=50)
+new = dp_batch_solve(model, state, xg, yg, sg, mesh, maxiter_cg=50,
+                     row_weights=wg)
 
 if multihost.on_coordinator():
     # fully-addressable process-0 copy for the oracle comparison

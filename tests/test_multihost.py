@@ -72,7 +72,9 @@ def test_multihost_dp_batch_solve_matches_single_process(cluster_result):
     from hipgp_tpu.kernels import SqExp
     from hipgp_tpu.models.hipgp import HIPGP
 
-    N = 240
+    # matches the worker's N: NOT divisible by the 2 processes, so the
+    # worker's global arrays carry one pad row masked by row_weights
+    N = 241
     rng = np.random.default_rng(0)
     x = rng.uniform(-1, 1, (N, 2))
     y = np.sin(3 * x[:, 0]) * np.cos(2 * x[:, 1])
