@@ -121,11 +121,15 @@ def make_optimizer(state, config: FitConfig):
     return opt
 
 
-def make_train_step(model, config: FitConfig, opt):
+def make_train_step(model, config: FitConfig, opt, kn_fn=None):
     """One jitted epoch: scan over (nb, bsz, ...) batches.
 
     Hyper-gradient masking: elbo_and_grads returns -d(elbo) for all three
     log-hyperparameters; leaves the config says not to learn are zeroed.
+
+    ``kn_fn``: optional whitening override threaded into
+    ``model.elbo_and_grads`` — the model-parallel layer passes its
+    grid-sharded solve here (`parallel.mp.mp_svigp_fit`).
     """
     learn_hyper = config.learn_kernel or config.learn_noise
 
@@ -150,6 +154,7 @@ def make_train_step(model, config: FitConfig, opt):
             key=sub,
             weights=wb,
             compute_hyper_grads=learn_hyper,
+            kn_fn=kn_fn,
         )
         grads = zero_frozen(grads)
         updates, opt_state = opt.update(grads, opt_state, state)
@@ -188,8 +193,16 @@ def svigp_fit(
     checkpoint_every: int = 0,
     resume: bool = False,
     theta2_warmstart: bool = False,
+    kn_fn=None,
+    data_shard_fn: Optional[Callable] = None,
 ):
     """Fit variational (and optionally hyper) parameters.
+
+    ``kn_fn`` / ``data_shard_fn``: hooks for the model-parallel layer —
+    the whitening-solve override (see ``make_train_step``) and an optional
+    placement function applied to the prepared (xb, yb, sb, w) batch arrays
+    (e.g. committing the row axis to a 'dp' mesh axis so each device feeds
+    only its shard).
 
     Returns (state, report) where report carries the per-batch ELBO trace,
     hyperparameter traces, and per-epoch wall-clock (the reference's
@@ -215,8 +228,11 @@ def svigp_fit(
         config.batch_size,
     )
 
+    if data_shard_fn is not None:
+        xb, yb, sb, w = data_shard_fn(xb, yb, sb, w)
+
     opt = make_optimizer(state, config)
-    epoch_step = make_train_step(model, config, opt)
+    epoch_step = make_train_step(model, config, opt, kn_fn=kn_fn)
     key = jax.random.PRNGKey(config.seed)
 
     start_epoch = 0
@@ -242,7 +258,8 @@ def svigp_fit(
         # transient (ELBO dives orders of magnitude before recovering); a
         # warm metric removes it at the cost of one data pass.  Skipped on
         # resume: the restored theta2 would immediately overwrite it.
-        state = _theta2_warmstart(model, state, xb, yb, sb, w, config)
+        state = _theta2_warmstart(model, state, xb, yb, sb, w, config,
+                                  kn_fn=kn_fn)
     if not restored:
         opt_state = opt.init(state)
 
@@ -266,6 +283,8 @@ def svigp_fit(
                 None if s_raw is None else s_raw[perm],
                 config.batch_size,
             )
+            if data_shard_fn is not None:
+                xb, yb, sb, w = data_shard_fn(xb, yb, sb, w)
         t0 = time.time()
         state, opt_state, key, elbos = jax.block_until_ready(
             epoch_step(state, opt_state, key, xb, yb, sb, w)
@@ -308,22 +327,29 @@ def svigp_fit(
     return state, report
 
 
-def _theta2_warmstart(model, state, xb, yb, sb, w, config):
+def _theta2_warmstart(model, state, xb, yb, sb, w, config, kn_fn=None):
     """theta2 <- -(Lambda + I)/2 from one Lambda-only pass over the data."""
 
     @jax.jit
     def sweep(state):
-        spec = model.spectrum(state) if model.whitened_type == "ziggy" else None
+        spec = (
+            model.spectrum(state)
+            if model.whitened_type == "ziggy" and kn_fn is None
+            else None
+        )
 
         def step(lam_acc, inp):
             xl, yl, wl, sl = inp
             ivar = wl / (sl * sl) if sl is not None else wl * jnp.exp(-state.log_noise2)
-            Knm, _ = model.make_grams(
-                state, xl, config.integrated_obs,
-                config.semi_integrated_estimator, config.num_semi_mc_samples,
-            )
-            kn = model.compute_kn(state, Knm, maxiter_cg=config.maxiter_cg,
-                                  spec=spec)
+            if kn_fn is not None:
+                kn, _ = kn_fn(state, xl, None)
+            else:
+                Knm, _ = model.make_grams(
+                    state, xl, config.integrated_obs,
+                    config.semi_integrated_estimator, config.num_semi_mc_samples,
+                )
+                kn = model.compute_kn(state, Knm, maxiter_cg=config.maxiter_cg,
+                                      spec=spec)
             return lam_acc + model.get_lam(ivar, kn, add_identity=False), None
 
         lam0 = jax.tree.map(

@@ -220,11 +220,12 @@ class HIPGP:
     # covariance plumbing
     # ------------------------------------------------------------------
 
-    def spectrum(self, state: HIPGPState) -> BTTBSpectrum:
+    def spectrum(self, state: HIPGPState, transform: str = "fft") -> BTTBSpectrum:
         params = self.kernel_params(state)
         kfun = lambda x, y: self.kernel(x, y, params)
         return make_spectrum(self.xgrids, kfun, jitter=self.jitter,
-                             multiple_of=self._spec_multiple)
+                             multiple_of=self._spec_multiple,
+                             transform=transform)
 
     def _kmm_chol(self, state: HIPGPState) -> jnp.ndarray:
         params = self.kernel_params(state)
@@ -465,6 +466,7 @@ class HIPGP:
         key: Optional[jax.Array] = None,
         weights: Optional[jnp.ndarray] = None,
         compute_hyper_grads: bool = False,
+        kn_fn=None,
     ):
         """ELBO + natural gradients (+ optional hyperparameter gradients).
 
@@ -474,6 +476,14 @@ class HIPGP:
         (the reference writes -deta into ``.grad`` and runs SGD,
         `ziggy/hipgp.py:270-271`); hyperparameter leaves hold -d(elbo)/d(log.)
         when requested, else zeros.
+
+        ``kn_fn(st, x, key) -> (kn, Knn_diag)``: optional override of the
+        whitened cross-covariance computation — the hook the model-parallel
+        layer uses to run the whitening solve grid-sharded
+        (`parallel.mp.make_mp_kn_fn`) while every downstream contraction
+        (ELBO terms, natural gradient, hyper grads) stays this exact code,
+        executed on the sharded global arrays.  Must be differentiable in
+        the hyperparameters carried by ``st``.
         """
         if self.parameterization != "expectation-family":
             raise ValueError("natural-gradient step needs expectation-family")
@@ -488,11 +498,14 @@ class HIPGP:
                 log_ell=log_ell,
                 log_noise2=log_noise2,
             )
-            Knm, Knn_diag = self.make_grams(
-                st, x, integrated_obs, semi_integrated_estimator,
-                semi_integrated_samps, key,
-            )
-            kn = self.compute_kn(st, Knm, maxiter_cg=maxiter_cg)
+            if kn_fn is not None:
+                kn, Knn_diag = kn_fn(st, x, key)
+            else:
+                Knm, Knn_diag = self.make_grams(
+                    st, x, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, key,
+                )
+                kn = self.compute_kn(st, Knm, maxiter_cg=maxiter_cg)
             qm, qS = self.standard_params(st)
             an = self.batch_an(st, y, noise_std, kn, Knn_diag, qm, qS)
             if weights is not None:

@@ -249,6 +249,37 @@ def spectrum_from_column(
     return BTTBSpectrum(column=col, eigs=eigs, dims=dims, edims=edims)
 
 
+def _cosine_matrix(L: int, dtype) -> jnp.ndarray:
+    """(L, L) cosine DFT matrix C[n, k] = cos(2 pi n k / L), cached."""
+    import numpy as _np
+
+    key = ("cos", L, _np.dtype(dtype).name)
+    if key not in _BASIS_CACHE:
+        n = _np.arange(L, dtype=_np.float64)
+        _BASIS_CACHE[key] = _np.cos(
+            (2.0 * _np.pi / L) * _np.outer(n, n)
+        ).astype(dtype)
+    return jnp.asarray(_BASIS_CACHE[key])
+
+
+def _real_even_half_spectrum_matmul(emb: jnp.ndarray) -> jnp.ndarray:
+    """FFT-free half-spectrum of a per-axis-even real tensor.
+
+    The DFT of an even vector is its cosine transform, so one (L, L)
+    cosine-matrix contraction per axis yields the exact eigenvalues of the
+    circulant embedding — same operator as :func:`_real_even_half_spectrum`,
+    MXU-shaped instead of an FFT custom call.  Also the robust choice inside
+    large partitioned (mesh) programs: XLA's CPU fft thunk RET_CHECKs on the
+    non-major layouts those graphs feed it, which this path never hits.
+    Intended for embedded axes up to ~MATMUL_DFT_MAX_LEN.
+    """
+    full = emb
+    for a in range(emb.ndim):
+        L = emb.shape[a]
+        full = _axis_contract(full, _cosine_matrix(L, emb.dtype), a)
+    return full[..., : emb.shape[-1] // 2 + 1]
+
+
 def make_spectrum(
     xgrids: Sequence[jnp.ndarray],
     kernel_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -256,6 +287,7 @@ def make_spectrum(
     eig_floor: float = DEFAULT_EIG_FLOOR,
     pad_to_fast: bool = True,
     multiple_of: Optional[Sequence[int]] = None,
+    transform: str = "fft",
 ) -> BTTBSpectrum:
     """Column + circulant embedding + clamped rFFT spectrum in one call.
 
@@ -270,7 +302,14 @@ def make_spectrum(
     Differentiable w.r.t. kernel hyperparameters closed over by ``kernel_fn``
     (the whole pipeline is jnp ops), so spectra can sit on the hot path of
     hyperparameter learning without a custom backward pass.
+
+    ``transform``: 'fft' (default) or 'matmul' — the cosine-matrix
+    eigendecomposition (`_real_even_half_spectrum_matmul`), preferred when
+    every embedded axis is short and the spectrum build sits inside a
+    partitioned (mesh) program.
     """
+    if transform not in ("fft", "matmul"):
+        raise ValueError(f"unknown transform {transform!r}")
     if not pad_to_fast:
         if multiple_of is not None:
             raise ValueError("multiple_of requires pad_to_fast=True")
@@ -295,7 +334,10 @@ def make_spectrum(
     c = kernel_fn(pts[:1], pts)[0]
     c = c.at[0].add(jitter)
     emb = c.reshape(edims)
-    eigs = _real_even_half_spectrum(emb)
+    if transform == "matmul":
+        eigs = _real_even_half_spectrum_matmul(emb)
+    else:
+        eigs = _real_even_half_spectrum(emb)
     eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
     col_idx = tuple(slice(0, d) for d in dims)
     return BTTBSpectrum(column=emb[col_idx], eigs=eigs, dims=dims, edims=edims)

@@ -63,6 +63,7 @@ __all__ = [
     "host_weights",
     "local_circulant_apply",
     "local_whiten",
+    "local_whiten_diff",
     "local_mask",
     "GridShardInfo",
 ]
@@ -311,6 +312,52 @@ def local_whiten(
     """
     return _local_solve(x_local, w_local, info, axis_name, "whiten",
                         maxiter, tol, mask)
+
+
+def local_whiten_diff(
+    x_local: jnp.ndarray,
+    w_local: jnp.ndarray,
+    info: GridShardInfo,
+    axis_name: str,
+    maxiter: int = 20,
+    tol: float = 1e-8,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Differentiable :func:`local_whiten`: the solve is wrapped in
+    ``lax.custom_linear_solve`` so gradients w.r.t. both the RHS and the
+    spectrum (hence kernel hyperparameters) flow implicitly through the
+    truncated PCG — the grid-sharded counterpart of `ops.solve.whiten`
+    (same implicit-diff structure as `ops.solve.inv_matmul`; replaces
+    the reference's `ziggy/misc/_inv_matmul.py`, distributed).
+
+    Call inside shard_map.  x_local: (B, Mp_local).
+    """
+    B = x_local.shape[0]
+    dtype = x_local.dtype
+    if mask is None:
+        mask = local_mask(info, jax.lax.axis_index(axis_name), dtype)
+
+    def cmul(vflat, w):
+        v = vflat.reshape((B,) + info.local_shape)
+        return local_circulant_apply(v, w, info, axis_name).reshape(B, -1)
+
+    def kv(vflat):
+        # K = P C P: restricted to the masked (original-grid) subspace —
+        # CG iterates stay in it because rhs and preconditioner are masked
+        return mask * cmul(vflat * mask, w_local)
+
+    w_prec = jax.lax.stop_gradient(w_local)
+
+    def solver(mv, b):
+        def cinv(vflat):
+            return mask * cmul(vflat * mask, 1.0 / w_prec)
+
+        return pcg(mv, b, precond=cinv, maxiter=maxiter, tol=tol,
+                   dot_fn=_grid_dot(axis_name))
+
+    sol = jax.lax.custom_linear_solve(kv, x_local * mask, solver,
+                                      symmetric=True)
+    return cmul(sol * mask, jnp.sqrt(w_local))
 
 
 def _local_solve(x_local, w_local, info, axis_name, mode, maxiter, tol,

@@ -20,7 +20,14 @@ about the math changes — the whitening semantics are exactly
   (kn @ m) and one over 'dp' (kn^T (ivar u)) — the full M' x M' Lambda is
   never materialized on any device,
 * prediction psums the per-row contractions (kn qm, kn.kn, kn^2 S) over
-  'grid'.
+  'grid',
+* minibatch natural-gradient TRAINING runs the unchanged single-device
+  `elbo_and_grads` code over the sharded global arrays: `make_mp_kn_fn`
+  swaps only the whitening solve for the grid-sharded differentiable one
+  (`fft_sharded.local_whiten_diff` — implicit diff, so hyperparameter
+  learning works through the sharded PCG), and every downstream
+  contraction (ELBO terms, natgrad sums, KL) gets its collectives from
+  XLA's sharding propagation.  `mp_svigp_fit` is the full training loop.
 
 Supported family: 'mean-field' (the paper's headline family and the only
 one whose Lambda stays O(M') — block/full-rank variational state is dense
@@ -44,6 +51,7 @@ from .fft_sharded import (
     host_weights,
     local_mask,
     local_whiten,
+    local_whiten_diff,
     weights_pspec,
 )
 
@@ -52,6 +60,9 @@ __all__ = [
     "mp_predict",
     "mp_shard_state",
     "grid_state_spec",
+    "make_mp_kn_fn",
+    "mp_elbo_and_grads",
+    "mp_svigp_fit",
 ]
 
 LN2PI = math.log(2.0 * math.pi)
@@ -436,3 +447,208 @@ def mp_predict(
     )
     mu, sig = jax.jit(fn)(state.theta1, state.theta2, x_p, keys, w_host)
     return mu.reshape(-1)[:N], sig.reshape(-1)[:N]
+
+
+# ---------------------------------------------------------------------------
+# natural-gradient training under grid sharding
+# ---------------------------------------------------------------------------
+
+
+def _static_shard_info(model, n_shards: int) -> GridShardInfo:
+    """GridShardInfo from the model's static grid layout (no spectrum build
+    needed: the layout depends only on dims/edims, not hyperparameters)."""
+    import types
+
+    spec_like = types.SimpleNamespace(
+        dims=model.dims, edims=model.edims, Mprime=model.Mprime
+    )
+    return GridShardInfo(spec_like, n_shards)
+
+
+def make_mp_kn_fn(
+    model,
+    mesh: Mesh,
+    maxiter_cg: int = 10,
+    tol: float = 1e-8,
+    integrated_obs: bool = False,
+    semi_integrated_estimator: str = "analytic",
+    semi_integrated_samps: int = 10,
+    dp_axis: str = "dp",
+    grid_axis: str = "grid",
+):
+    """The grid-sharded whitening solve as an `elbo_and_grads` hook.
+
+    Returns ``kn_fn(st, x, key) -> (kn, Knn_diag)`` where kn is the GLOBAL
+    (bsz, M') whitened cross-covariance array laid out P(dp, grid): batch
+    rows sharded over ``dp_axis``, whitened columns over ``grid_axis``.
+    Each grid shard evaluates the kernel only against its own inducing rows
+    (`_local_embedded_knm`) and the PCG whitening runs on expanded-space
+    shards (`fft_sharded.local_whiten_diff` — differentiable in the
+    hyperparameters via implicit diff, so hyper learning works through the
+    sharded solve).  Every downstream contraction (ELBO, natural gradient)
+    then runs on the sharded global arrays with XLA-inserted collectives.
+
+    This is the distributed counterpart of `ziggy/hipgp.py:117-146`
+    ``compute_kn``; composed with ``elbo_and_grads`` it distributes the
+    reference's natgrad step (`ziggy/hipgp.py:194-276`).
+    """
+    _check_model(model)
+    ng = mesh.shape[grid_axis]
+    info = _static_shard_info(model, ng)
+    dtype = model.dtype
+
+    # cosine-matmul spectrum build when all embedded axes are short: no FFT
+    # custom call inside the partitioned natgrad graph (XLA's CPU fft thunk
+    # rejects the layouts such graphs feed it, and tiny FFTs are slow on TPU)
+    from ..ops.bttb import MATMUL_DFT_MAX_LEN
+
+    spec_transform = (
+        "matmul" if all(e <= MATMUL_DFT_MAX_LEN for e in model.edims)
+        else "fft"
+    )
+
+    def kn_fn(st, x, key):
+        params = (jnp.exp(st.log_sig2), jnp.exp(st.log_ell))
+        spec = model.spectrum(st, transform=spec_transform)
+        w_h = host_weights(spec, info)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def local_fn(prm, kl, xl, wgt):
+            gidx = jax.lax.axis_index(grid_axis)
+            mask = local_mask(info, gidx, dtype)
+            knm = _local_embedded_knm(
+                model, prm, xl, info, gidx,
+                integrated_obs, semi_integrated_estimator,
+                semi_integrated_samps, kl,
+            )
+            return local_whiten_diff(knm, wgt, info, grid_axis,
+                                     maxiter=maxiter_cg, tol=tol, mask=mask)
+
+        fn = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(dp_axis, None),
+                      weights_pspec(info, grid_axis)),
+            out_specs=P(dp_axis, grid_axis),
+            check_vma=False,
+        )
+        kn = fn(params, key, x, w_h)
+        if integrated_obs:
+            Knn = model.diag_interp(x, params)
+        else:
+            Knn = model.kernel.diag(x, params)
+        return kn, Knn
+
+    return kn_fn
+
+
+def mp_elbo_and_grads(
+    model,
+    state,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_std: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    maxiter_cg: int = 10,
+    tol: float = 1e-8,
+    integrated_obs: bool = False,
+    semi_integrated_estimator: str = "analytic",
+    semi_integrated_samps: int = 10,
+    key=None,
+    weights: Optional[jnp.ndarray] = None,
+    compute_hyper_grads: bool = False,
+    dp_axis: str = "dp",
+    grid_axis: str = "grid",
+):
+    """Minibatch ELBO + natural gradient with the whitened state sharded
+    over ``grid_axis`` and batch rows over ``dp_axis`` — the model-parallel
+    natgrad step the reference's single-device loop cannot express
+    (`ziggy/svi_gp.py:282-388` + `ziggy/hipgp.py:194-276`, distributed).
+
+    Semantics are EXACTLY ``model.elbo_and_grads`` (it runs that very code);
+    only the whitening solve is overridden with the grid-sharded kn_fn.
+    The returned grads' theta leaves are grid-sharded like the state's.
+    """
+    kn_fn = make_mp_kn_fn(
+        model, mesh, maxiter_cg=maxiter_cg, tol=tol,
+        integrated_obs=integrated_obs,
+        semi_integrated_estimator=semi_integrated_estimator,
+        semi_integrated_samps=semi_integrated_samps,
+        dp_axis=dp_axis, grid_axis=grid_axis,
+    )
+    return model.elbo_and_grads(
+        state, x, y, noise_std,
+        maxiter_cg=maxiter_cg,
+        integrated_obs=integrated_obs,
+        semi_integrated_estimator=semi_integrated_estimator,
+        semi_integrated_samps=semi_integrated_samps,
+        key=key, weights=weights,
+        compute_hyper_grads=compute_hyper_grads,
+        kn_fn=kn_fn,
+    )
+
+
+def mp_svigp_fit(
+    model,
+    state,
+    xtrain,
+    ytrain,
+    noise_std_train,
+    config,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    grid_axis: str = "grid",
+    **fit_kwargs,
+):
+    """Grid+data-sharded natural-gradient SVI: `infer.svigp_fit` with the
+    whitening solve distributed over the mesh (mean-field family).
+
+    The state's theta vectors are placed grid-sharded, batch rows commit to
+    the dp axis, and the jitted epoch scan runs unchanged — every optimizer
+    update stays elementwise on the shards.  The global batch size is
+    rounded up to a dp multiple so rows shard evenly (padding rows carry
+    zero weight, exactly as the single-device path).
+
+    Returns (state, report) matching `infer.svigp_fit`; the returned state's
+    thetas remain grid-sharded (use them directly with `mp_predict`).
+    """
+    import dataclasses as _dc
+
+    from ..infer.fit import svigp_fit
+
+    _check_model(model)
+    ndp = mesh.shape[dp_axis]
+    N = int(np.asarray(xtrain).shape[0])
+    bsz = config.batch_size if config.batch_size > 0 else N
+    bsz = min(bsz, N)
+    bsz = -(-bsz // ndp) * ndp
+    if bsz != config.batch_size:
+        config = _dc.replace(config, batch_size=bsz)
+
+    kn_fn = make_mp_kn_fn(
+        model, mesh,
+        maxiter_cg=config.maxiter_cg,
+        integrated_obs=config.integrated_obs,
+        semi_integrated_estimator=config.semi_integrated_estimator,
+        semi_integrated_samps=config.num_semi_mc_samples,
+        dp_axis=dp_axis, grid_axis=grid_axis,
+    )
+
+    def data_shard_fn(xb, yb, sb, w):
+        put = lambda a, s: (
+            None if a is None else jax.device_put(a, NamedSharding(mesh, s))
+        )
+        return (
+            put(xb, P(None, dp_axis, None)),
+            put(yb, P(None, dp_axis)),
+            put(sb, P(None, dp_axis)),
+            put(w, P(None, dp_axis)),
+        )
+
+    state = mp_shard_state(state, mesh, grid_axis)
+    return svigp_fit(
+        model, state, xtrain, ytrain, noise_std_train, config,
+        kn_fn=kn_fn, data_shard_fn=data_shard_fn, **fit_kwargs,
+    )

@@ -195,3 +195,39 @@ def test_fft_path_hyperparam_gradcheck(rng):
     eps = 1e-6
     fd = (loss(le + eps) - loss(le - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_matmul_spectrum_matches_fft(rng):
+    """transform='matmul' (cosine-matrix eigendecomposition, FFT-free) must
+    produce the SAME clamped spectrum as the default FFT build — it is the
+    path the model-parallel natgrad graph uses (mp.make_mp_kn_fn)."""
+    from hipgp_tpu.kernels import Matern, SqExp
+
+    for kern, nd, m in [(SqExp(), 2, 11), (Matern(1.5), 1, 40),
+                        (SqExp(), 3, 7)]:
+        grids = [jnp.linspace(0.0, 1.0, m)] * nd
+        kfun = lambda x, y: kern(x, y, (1.3, 0.12))
+        s_f = make_spectrum(grids, kfun, jitter=1e-3, transform="fft")
+        s_m = make_spectrum(grids, kfun, jitter=1e-3, transform="matmul")
+        np.testing.assert_allclose(np.asarray(s_m.eigs), np.asarray(s_f.eigs),
+                                   rtol=1e-12, atol=1e-13)
+
+
+def test_matmul_spectrum_hyperparam_gradcheck(rng):
+    """Hyper gradients through the cosine-matmul spectrum build match FD."""
+    from hipgp_tpu.ops import whiten
+    from hipgp_tpu.kernels import SqExp
+
+    grids = [jnp.linspace(0.0, 1.0, 9)] * 2
+    b = jnp.asarray(rng.standard_normal((3, 81)))
+
+    def loss(log_ell):
+        kfun = lambda x, y: SqExp()(x, y, (1.0, jnp.exp(log_ell)))
+        spec = make_spectrum(grids, kfun, jitter=1e-3, transform="matmul")
+        return jnp.sum(whiten(spec, b, maxiter=200, tol=1e-12) ** 2)
+
+    le = jnp.log(0.08)
+    g = jax.grad(loss)(le)
+    eps = 1e-6
+    fd = (loss(le + eps) - loss(le - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
