@@ -48,11 +48,15 @@ def make_model(
     jitter: float = 1e-3,
     block_sizes: Optional[Sequence[int]] = None,
     support_integrated_obs: bool = False,
+    grid_shards: Optional[int] = None,
     dtype=jnp.float32,
 ):
     """Model factory matching the reference CLI contract
     (`experiment_util.py:104-165`): model_class in {'mean-field',
-    'block-diagonal[-*]', 'full-rank', 'SVGP'}."""
+    'block-diagonal[-*]', 'full-rank', 'SVGP'}.
+
+    ``grid_shards``: pad the circulant embedding so the whitened state
+    shards evenly over an n-way 'grid' mesh axis (model parallelism)."""
     kern = kernel_from_name(kernel_name)
     grids = [jnp.asarray(g, dtype) for g in xinduce_grids]
     common = dict(
@@ -66,6 +70,7 @@ def make_model(
         learn_noise=learn_noise,
         jitter=jitter,
         support_integrated_obs=support_integrated_obs,
+        grid_shards=grid_shards,
         dtype=dtype,
     )
     if model_class == "mean-field":
@@ -130,10 +135,15 @@ def evaluate_and_save(
     make_plots: bool = True,
     grid_shape=None,
     grid_extent=None,
+    predict_fn: Optional[Callable] = None,
 ):
     """The standard epoch callback: checkpoint, predict on
     valid/test/grid (latent + optionally integrated), write metrics CSVs and
-    figures.  Returns (pdict, eval_times)."""
+    figures.  Returns (pdict, eval_times).
+
+    ``predict_fn(x, integrated_obs=...) -> (mu, sig)`` overrides the default
+    single-device ``batch_predict`` — the hook the parallel harness paths
+    use (e.g. `mp_predict` keeping the kn contractions grid-sharded)."""
     os.makedirs(odir, exist_ok=True)
     ckpt.save_checkpoint(odir, state)
     if elbo_trace is not None:
@@ -147,15 +157,27 @@ def evaluate_and_save(
     pdict: Dict[str, np.ndarray] = {}
     times: Dict[str, float] = {}
 
+    def _predict(x, integrated_obs=False):
+        if predict_fn is not None:
+            return predict_fn(x, integrated_obs=integrated_obs)
+        kw = {}
+        if integrated_obs:
+            kw = dict(
+                integrated_obs=True,
+                semi_integrated_estimator=predict_ksemi_method,
+                semi_integrated_samps=predict_ksemi_samps,
+            )
+        return batch_predict(
+            model, state, x, batch_size=predict_batch_size,
+            maxiter_cg=predict_maxiter_cg, **kw,
+        )
+
     def run_predictions(tag, x, f_true, e_true):
         if x is None:
             return
         x = jnp.asarray(x, model.dtype)
         t0 = time.time()
-        fmu, fsig = batch_predict(
-            model, state, x, batch_size=predict_batch_size,
-            maxiter_cg=predict_maxiter_cg,
-        )
+        fmu, fsig = _predict(x)
         times[f"f{tag}_eval"] = time.time() - t0
         pdict[f"fmu_{tag}"] = np.asarray(fmu)
         pdict[f"fsig_{tag}"] = np.asarray(fsig)
@@ -163,13 +185,7 @@ def evaluate_and_save(
             pdict[f"f{tag}"] = np.asarray(f_true).reshape(-1)
         if do_integrated_predictions:
             t0 = time.time()
-            emu, esig = batch_predict(
-                model, state, x, batch_size=predict_batch_size,
-                maxiter_cg=predict_maxiter_cg,
-                integrated_obs=True,
-                semi_integrated_estimator=predict_ksemi_method,
-                semi_integrated_samps=predict_ksemi_samps,
-            )
+            emu, esig = _predict(x, integrated_obs=True)
             times[f"e{tag}_eval"] = time.time() - t0
             pdict[f"emu_{tag}"] = np.asarray(emu)
             pdict[f"esig_{tag}"] = np.asarray(esig)
@@ -266,6 +282,9 @@ def fit_predict_and_save(
     output_dir: str = "./model-output/",
     eval_epochs: int = 0,
     eval_epoch_plots: bool = False,
+    parallel: Optional[str] = None,
+    mesh=None,
+    grid_shards: Optional[int] = None,
     dtype=jnp.float32,
 ):
     """Fit + evaluate one model, persisting all artifacts under
@@ -280,8 +299,36 @@ def fit_predict_and_save(
     lands as one row per epoch in ``time_report.csv``
     (`ziggy/svi_gp.py:426-440`).
 
+    ``parallel`` routes the fit over a device mesh (the capability the
+    reference's single-device harness lacks):
+
+    * 'dp' — exact data parallelism: natgrad fits run `svigp_fit` with
+      batch rows committed to a 'dp' mesh axis; full-batch solves run
+      `dp_batch_solve`.  Any model/family.  Default mesh: all devices.
+    * 'mp' — model parallelism (mean-field HIPGP): the whitened state,
+      whitening solve, and every kn contraction shard over a 'grid' axis,
+      composed with 'dp' over rows (`mp_svigp_fit` / `mp_batch_solve` /
+      `mp_predict`).  Default mesh: (1, n_devices) ('dp', 'grid').
+      The model is built with matching `grid_shards` padding.
+
+    Pass ``mesh`` to control the shape (axis names must be 'dp' / 'grid').
+
     Returns (model, state, report).
     """
+    if parallel not in (None, "dp", "mp"):
+        raise ValueError(f"parallel={parallel!r}; choose None | 'dp' | 'mp'")
+    if parallel == "mp" and model_class != "mean-field":
+        raise ValueError("parallel='mp' supports the mean-field family")
+    if parallel and mesh is None:
+        import jax
+        from jax.sharding import Mesh as _Mesh
+
+        devs = np.array(jax.devices())
+        if parallel == "dp":
+            mesh = _Mesh(devs, ("dp",))
+        else:
+            mesh = _Mesh(devs.reshape(1, -1), ("dp", "grid"))
+
     odir = os.path.join(output_dir, name)
     os.makedirs(odir, exist_ok=True)
 
@@ -324,9 +371,34 @@ def fit_predict_and_save(
         jitter=jitter,
         block_sizes=block_sizes,
         support_integrated_obs=integrated,
+        # mp REQUIRES the shard padding; otherwise honor the caller's value
+        # (e.g. building the identical padded model for single-device
+        # comparison runs — padding changes M', hence the init, never K)
+        grid_shards=(int(mesh.shape["grid"]) if parallel == "mp"
+                     else grid_shards),
         dtype=dtype,
     )
     state = model.init_state() if hasattr(model, "init_state") else None
+
+    predict_fn_of = lambda state_: None
+    if parallel == "mp":
+        from ..parallel import mp_predict
+
+        def predict_fn_of(state_):
+            def pf(x, integrated_obs=False):
+                kw = {}
+                if integrated_obs:
+                    kw = dict(
+                        integrated_obs=True,
+                        semi_integrated_estimator=cfg.predict_ksemi_method,
+                        semi_integrated_samps=cfg.predict_ksemi_samps,
+                    )
+                return mp_predict(
+                    model, state_, jnp.asarray(x, model.dtype), mesh,
+                    maxiter_cg=cfg.predict_maxiter_cg, **kw,
+                )
+
+            return pf
 
     with open(os.path.join(odir, "fit_params.json"), "w") as f:
         json.dump(
@@ -334,6 +406,8 @@ def fit_predict_and_save(
                 "model_class": model_class, "kernel": kernel,
                 "sig2_init": float(sig2_init), "ell_init": float(ell_init),
                 "whitened_type": whitened_type, "fit_method": fit_method,
+                "parallel": parallel or "none",
+                "mesh_shape": (dict(mesh.shape) if mesh is not None else None),
                 **{k: v for k, v in dataclasses.asdict(cfg).items()
                    if isinstance(v, (int, float, str, bool))},
             },
@@ -365,6 +439,7 @@ def fit_predict_and_save(
                 grid_shape=grid_shape,
                 grid_extent=grid_extent,
                 make_plots=eval_epoch_plots,
+                predict_fn=predict_fn_of(state_),
             )
             epoch_eval_rows.append(
                 {"epoch": epoch, "eval_total": time.time() - t0, **etimes}
@@ -372,42 +447,90 @@ def fit_predict_and_save(
 
     t_start = time.time()
     if fit_method == "natgrad":
-        state, report = svigp_fit(
-            model, state, xobs, yobs, sobs, cfg,
-            verbose=True,
-            theta2_warmstart=theta2_warmstart,
-            epoch_callback=epoch_callback,
-        )
+        if parallel == "mp":
+            from ..parallel import mp_svigp_fit
+
+            state, report = mp_svigp_fit(
+                model, state, xobs, yobs, sobs, cfg, mesh,
+                verbose=True,
+                theta2_warmstart=theta2_warmstart,
+                epoch_callback=epoch_callback,
+            )
+        elif parallel == "dp":
+            from ..parallel import make_dp_data_shard_fn, round_batch_to_mesh
+
+            cfg_dp = round_batch_to_mesh(cfg, mesh, len(xobs))
+            state, report = svigp_fit(
+                model, state, xobs, yobs, sobs, cfg_dp,
+                verbose=True,
+                theta2_warmstart=theta2_warmstart,
+                epoch_callback=epoch_callback,
+                data_shard_fn=make_dp_data_shard_fn(mesh),
+            )
+        else:
+            state, report = svigp_fit(
+                model, state, xobs, yobs, sobs, cfg,
+                verbose=True,
+                theta2_warmstart=theta2_warmstart,
+                epoch_callback=epoch_callback,
+            )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
     elif fit_method == "full-batch":
         import jax
 
-        def solve_fn(st):
-            return model.batch_solve(
-                st,
-                jnp.asarray(xobs, model.dtype),
-                jnp.asarray(yobs, model.dtype),
-                None if sobs is None else jnp.asarray(sobs, model.dtype),
+        xj = jnp.asarray(xobs, model.dtype)
+        yj = jnp.asarray(yobs, model.dtype)
+        sj = None if sobs is None else jnp.asarray(sobs, model.dtype)
+
+        if parallel == "mp":
+            from ..parallel import mp_batch_solve, mp_shard_state
+
+            state, elbo = mp_batch_solve(
+                model, mp_shard_state(state, mesh), xj, yj, sj, mesh,
+                batch_size=(batch_solve_bsz if batch_solve_bsz > 0
+                            else len(xobs)),
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated,
+                semi_integrated_estimator=cfg.semi_integrated_estimator,
+                semi_integrated_samps=cfg.num_semi_mc_samples,
+                compute_elbo=True,
+            )
+        elif parallel == "dp":
+            from ..parallel import dp_batch_solve
+
+            state, elbo = dp_batch_solve(
+                model, state, xj, yj, sj, mesh,
                 batch_size=batch_solve_bsz,
                 maxiter_cg=maxiter_cg,
                 integrated_obs=integrated,
                 semi_integrated_estimator=cfg.semi_integrated_estimator,
                 semi_integrated_samps=cfg.num_semi_mc_samples,
                 compute_elbo=True,
-                **({"mean_solver": mean_solver}
-                   if getattr(model, "family", None) in ("mean-field", "block")
-                   else {}),
             )
-
-        # the gram path runs EAGER — see infer.fit.prefer_eager_batch_solve
-        # for the measured root cause (fused-program slowdown + worker
-        # watchdog kill at M=128^2; repro results/repro/fused_gram_repro.py)
-        from ..infer import prefer_eager_batch_solve
-
-        if prefer_eager_batch_solve(mean_solver):
-            state, elbo = solve_fn(state)
         else:
-            state, elbo = jax.jit(solve_fn)(state)
+            def solve_fn(st):
+                return model.batch_solve(
+                    st, xj, yj, sj,
+                    batch_size=batch_solve_bsz,
+                    maxiter_cg=maxiter_cg,
+                    integrated_obs=integrated,
+                    semi_integrated_estimator=cfg.semi_integrated_estimator,
+                    semi_integrated_samps=cfg.num_semi_mc_samples,
+                    compute_elbo=True,
+                    **({"mean_solver": mean_solver}
+                       if getattr(model, "family", None) in ("mean-field", "block")
+                       else {}),
+                )
+
+            # the gram path runs EAGER — see infer.fit.prefer_eager_batch_solve
+            # for the measured root cause (fused-program slowdown + worker
+            # watchdog kill at M=128^2; repro results/repro/fused_gram_repro.py)
+            from ..infer import prefer_eager_batch_solve
+
+            if prefer_eager_batch_solve(mean_solver):
+                state, elbo = solve_fn(state)
+            else:
+                state, elbo = jax.jit(solve_fn)(state)
         train_elbo = float(elbo)
         report = {"elbo_trace": [train_elbo], "epoch_elbos": [train_elbo]}
         print(f"batch solve elbo = {train_elbo:.5f}")
@@ -434,6 +557,7 @@ def fit_predict_and_save(
         train_elbo=train_elbo,
         grid_shape=grid_shape,
         grid_extent=grid_extent,
+        predict_fn=predict_fn_of(state),
     )
 
     trow = {"fitting": fitting_time, **eval_times}

@@ -53,6 +53,10 @@ def main(argv=None):
                    help="grid-search the lengthscale by batch-solve ELBO "
                         "before fitting (the reference's ell annealing)")
     p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
+    p.add_argument("--parallel", default=None, choices=["dp", "mp"],
+                   help="fit over a device mesh: 'dp' shards batch rows, "
+                        "'mp' also shards the whitened state over 'grid' "
+                        "(mean-field only); default mesh spans all devices")
     p.add_argument("--output-dir", default="./output-synthetic")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
@@ -117,6 +121,7 @@ def main(argv=None):
             xgrid=d["xgrid"], fgrid=d["fgrid"],
             grid_shape=d["grid_shape"], grid_extent=d["grid_extent"],
             output_dir=args.output_dir,
+            parallel=args.parallel,
             dtype=jnp.float64 if args.f64 else jnp.float32,
         )
         ndf = pd.read_csv(

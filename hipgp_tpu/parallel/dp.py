@@ -24,7 +24,43 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["dp_batch_solve", "make_dp_train_step", "dp_elbo_and_grads"]
+__all__ = ["dp_batch_solve", "make_dp_train_step", "dp_elbo_and_grads",
+           "make_dp_data_shard_fn", "round_batch_to_mesh"]
+
+
+def make_dp_data_shard_fn(mesh: Mesh, axis: str = "dp"):
+    """`infer.svigp_fit(data_shard_fn=...)` hook: commit the prepared
+    (nb, bsz, ...) batch arrays with rows sharded over ``axis`` so the jitted
+    epoch scan feeds each device only its shard (XLA then inserts the
+    all-reduces for every over-batch contraction — exact data parallelism
+    with the full svigp_fit feature set: callbacks, warmstart, resume)."""
+
+    def data_shard_fn(xb, yb, sb, w):
+        put = lambda a, s: (
+            None if a is None else jax.device_put(a, NamedSharding(mesh, s))
+        )
+        return (
+            put(xb, P(None, axis, None)),
+            put(yb, P(None, axis)),
+            put(sb, P(None, axis)),
+            put(w, P(None, axis)),
+        )
+
+    return data_shard_fn
+
+
+def round_batch_to_mesh(config, mesh: Mesh, n_rows: int, axis: str = "dp"):
+    """Round config.batch_size up to a multiple of the mesh axis size so
+    batch rows shard evenly (padding rows carry zero weight)."""
+    import dataclasses
+
+    n = mesh.shape[axis]
+    bsz = config.batch_size if config.batch_size > 0 else n_rows
+    bsz = min(bsz, n_rows)
+    bsz = -(-bsz // n) * n
+    if bsz != config.batch_size:
+        config = dataclasses.replace(config, batch_size=bsz)
+    return config
 
 
 def _pad_to(n_target, *arrays, fills):
@@ -55,6 +91,7 @@ def dp_batch_solve(
     semi_integrated_samps: int = 10,
     axis: str = "dp",
     row_weights: Optional[jnp.ndarray] = None,
+    compute_elbo: bool = False,
 ):
     """Closed-form batch_solve with the data dimension sharded over ``axis``.
 
@@ -65,6 +102,10 @@ def dp_batch_solve(
     ``row_weights``: optional (N,) 0/1 mask of REAL rows — pass
     ``multihost.global_row_weights(...)`` when the inputs were assembled by
     ``multihost.global_batch`` with pad rows (N not divisible by nprocs).
+
+    ``compute_elbo``: run a second sharded sweep evaluating the bound at the
+    optimum (the reference's optional recompute pass,
+    `ziggy/hipgp.py:347-368`) — returns ``(new_state, elbo)``.
     """
     ndev = mesh.shape[axis]
     N = xobs.shape[0]
@@ -186,7 +227,53 @@ def dp_batch_solve(
         lam, b, big = jax.jit(fn)(state, x_p, y_p, w_p, ns_p)
 
     big = None if model.family == "full-rank" else big
-    return model.finalize_from_lam_b(state, lam, b, big)
+    new_state = model.finalize_from_lam_b(state, lam, b, big)
+    if not compute_elbo:
+        return new_state
+
+    qm, qS = model.standard_params(new_state)
+    N_real = jnp.sum(w)  # row_weights mask excludes pad rows
+    spec = (
+        model.spectrum(new_state) if model.whitened_type == "ziggy" else None
+    )
+
+    def local_an(xb, yb, wb, nsb):
+        def step(acc, inp):
+            xl, yl, wl, nsl = inp
+            Knm, Knn_diag = model.make_grams(
+                new_state, xl, integrated_obs, semi_integrated_estimator,
+                semi_integrated_samps,
+            )
+            kn = model.compute_kn(new_state, Knm, maxiter_cg=maxiter_cg,
+                                  spec=spec)
+            an = model.batch_an(new_state, yl, nsl, kn, Knn_diag, qm, qS)
+            return acc + jnp.sum(an * wl), None
+
+        acc0 = jax.lax.pcast(jnp.zeros((), model.dtype), (axis,), to="varying")
+        if nsb is None:
+            acc, _ = jax.lax.scan(
+                lambda c, i: step(c, (*i, None)), acc0, (xb, yb, wb)
+            )
+        else:
+            acc, _ = jax.lax.scan(step, acc0, (xb, yb, wb, nsb))
+        return jax.lax.psum(acc, axis)
+
+    if ns_p is None:
+        an_fn = shard_map(
+            lambda xb, yb, wb: local_an(xb, yb, wb, None),
+            mesh=mesh, in_specs=(spec_bx, spec_b, spec_b), out_specs=P(),
+            check_vma=False,
+        )
+        total_an = jax.jit(an_fn)(x_p, y_p, w_p)
+    else:
+        an_fn = shard_map(
+            local_an, mesh=mesh,
+            in_specs=(spec_bx, spec_b, spec_b, spec_b), out_specs=P(),
+            check_vma=False,
+        )
+        total_an = jax.jit(an_fn)(x_p, y_p, w_p, ns_p)
+    elbo = total_an / N_real - model.kl_to_prior(qm, qS) / model.N
+    return new_state, elbo
 
 
 def dp_elbo_and_grads(model, mesh, axis: str = "dp", **elbo_kwargs):

@@ -614,18 +614,12 @@ def mp_svigp_fit(
     Returns (state, report) matching `infer.svigp_fit`; the returned state's
     thetas remain grid-sharded (use them directly with `mp_predict`).
     """
-    import dataclasses as _dc
-
     from ..infer.fit import svigp_fit
+    from .dp import make_dp_data_shard_fn, round_batch_to_mesh
 
     _check_model(model)
-    ndp = mesh.shape[dp_axis]
     N = int(np.asarray(xtrain).shape[0])
-    bsz = config.batch_size if config.batch_size > 0 else N
-    bsz = min(bsz, N)
-    bsz = -(-bsz // ndp) * ndp
-    if bsz != config.batch_size:
-        config = _dc.replace(config, batch_size=bsz)
+    config = round_batch_to_mesh(config, mesh, N, axis=dp_axis)
 
     kn_fn = make_mp_kn_fn(
         model, mesh,
@@ -636,19 +630,9 @@ def mp_svigp_fit(
         dp_axis=dp_axis, grid_axis=grid_axis,
     )
 
-    def data_shard_fn(xb, yb, sb, w):
-        put = lambda a, s: (
-            None if a is None else jax.device_put(a, NamedSharding(mesh, s))
-        )
-        return (
-            put(xb, P(None, dp_axis, None)),
-            put(yb, P(None, dp_axis)),
-            put(sb, P(None, dp_axis)),
-            put(w, P(None, dp_axis)),
-        )
-
     state = mp_shard_state(state, mesh, grid_axis)
     return svigp_fit(
         model, state, xtrain, ytrain, noise_std_train, config,
-        kn_fn=kn_fn, data_shard_fn=data_shard_fn, **fit_kwargs,
+        kn_fn=kn_fn, data_shard_fn=make_dp_data_shard_fn(mesh, dp_axis),
+        **fit_kwargs,
     )

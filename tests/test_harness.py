@@ -231,3 +231,70 @@ def test_coverage_table_custom_sigs():
     expect = [erf(0.25 / sqrt(2)), erf(1.5 / sqrt(2))]
     np.testing.assert_allclose(cov["N(0,1)"].values, expect, rtol=1e-12)
     np.testing.assert_allclose(cov["m"].values, expect, atol=0.02)
+
+
+@pytest.mark.parametrize("parallel,fit_method", [
+    ("dp", "natgrad"), ("dp", "full-batch"),
+    ("mp", "natgrad"), ("mp", "full-batch"),
+])
+def test_fit_predict_and_save_parallel(tmp_path, parallel, fit_method):
+    """`parallel='dp'|'mp'` routes the fit over the 8-CPU mesh and produces
+    the SAME artifact directory as the single-device path, with predictions
+    matching a single-device fit at matched protocol (VERDICT round-2 item
+    3: the harness was strictly single-device)."""
+    d = small_data()
+    # batch size divisible by the 8-device mesh, so the parallel paths see
+    # the IDENTICAL batching as the single-device reference run
+    cfg = FitConfig(epochs=2, batch_size=96, lr=0.02, maxiter_cg=30)
+    common = dict(
+        xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+        xinduce_grids=[np.linspace(-1, 1, 8)] * 2,
+        model_class="mean-field",
+        kernel="SqExp",
+        ell_init=0.3,
+        fit_method=fit_method,
+        fit_config=cfg,
+        maxiter_cg=30,
+        xtest=d["xtest"], ftest=d["ftest"],
+        output_dir=str(tmp_path),
+        dtype=jnp.float64,
+    )
+    if parallel == "mp":
+        # the mp model is shard-padded (M' changes, K doesn't); build the
+        # reference run with the identical padding so inits/trajectories match
+        common["grid_shards"] = 8
+    name = f"par-{parallel}-{fit_method}"
+    model, state, report = fit_predict_and_save(
+        name=name, parallel=parallel, **common
+    )
+    odir = tmp_path / name
+    for fname in [
+        "fit_params.json", "state.npz", "predictions.npz",
+        "errordf-summary.csv", "noise_reduction.csv", "coverage_table.csv",
+        "time_report.csv",
+    ]:
+        assert (odir / fname).exists(), fname
+    import json
+
+    with open(odir / "fit_params.json") as f:
+        params = json.load(f)
+    assert params["parallel"] == parallel
+
+    _, _, ref_report = fit_predict_and_save(
+        name=f"ref-{parallel}-{fit_method}", parallel=None, **common
+    )
+    np.testing.assert_allclose(
+        report["pdict"]["fmu_test"], ref_report["pdict"]["fmu_test"],
+        rtol=1e-4, atol=5e-5,
+    )
+
+
+def test_parallel_rejects_bad_combo(tmp_path):
+    d = small_data()
+    with pytest.raises(ValueError, match="mean-field"):
+        fit_predict_and_save(
+            name="bad", xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+            xinduce_grids=[np.linspace(-1, 1, 8)] * 2,
+            model_class="full-rank", parallel="mp",
+            output_dir=str(tmp_path),
+        )
