@@ -305,8 +305,9 @@ def fit_predict_and_save(
     * 'dp' — exact data parallelism: natgrad fits run `svigp_fit` with
       batch rows committed to a 'dp' mesh axis; full-batch solves run
       `dp_batch_solve`.  Any model/family.  Default mesh: all devices.
-    * 'mp' — model parallelism (mean-field HIPGP): the whitened state,
-      whitening solve, and every kn contraction shard over a 'grid' axis,
+    * 'mp' — model parallelism (mean-field/block HIPGP): the whitened
+      state, whitening solve, and every kn contraction shard over a 'grid'
+      axis,
       composed with 'dp' over rows (`mp_svigp_fit` / `mp_batch_solve` /
       `mp_predict`).  Default mesh: (1, n_devices) ('dp', 'grid').
       The model is built with matching `grid_shards` padding.
@@ -317,8 +318,11 @@ def fit_predict_and_save(
     """
     if parallel not in (None, "dp", "mp"):
         raise ValueError(f"parallel={parallel!r}; choose None | 'dp' | 'mp'")
-    if parallel == "mp" and model_class != "mean-field":
-        raise ValueError("parallel='mp' supports the mean-field family")
+    mp_ok = model_class == "mean-field" or model_class.startswith("block")
+    if parallel == "mp" and not mp_ok:
+        raise ValueError(
+            "parallel='mp' supports the mean-field and block families"
+        )
     if parallel and mesh is None:
         import jax
         from jax.sharding import Mesh as _Mesh

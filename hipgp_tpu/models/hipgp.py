@@ -157,6 +157,7 @@ class HIPGP:
         if family == "block":
             if block_sizes is None:
                 block_sizes = [xblock_size] * self.ndim
+            self.block_sizes = tuple(int(c) for c in block_sizes)
             bidx, binv = blk.block_indices(self.edims, block_sizes)
             self.blk_idx = jnp.asarray(bidx)
             self.blk_inv = jnp.asarray(binv)

@@ -29,9 +29,14 @@ about the math changes — the whitening semantics are exactly
   contraction (ELBO terms, natgrad sums, KL) gets its collectives from
   XLA's sharding propagation.  `mp_svigp_fit` is the full training loop.
 
-Supported family: 'mean-field' (the paper's headline family and the only
-one whose Lambda stays O(M') — block/full-rank variational state is dense
-in the block/global dimension and belongs on one chip or in the dp path).
+Supported families: 'mean-field' (diagonal Lambda, O(M') state) and
+'block' (block-diagonal Lambda: blocks are independent in Lambda/S/KL, so
+the (num_blocks, bs, bs) state shards over 'grid' along the block axis —
+`ziggy/hipgp.py:527-690`, distributed).  Alignment requirement for block:
+the leading-axis chunk size must divide the per-shard row count
+(rows_per = edims[0]/n_grid), so every block lives entirely on one shard
+and global block numbering is shard-contiguous.  Full-rank state is dense
+in the global dimension and belongs on one chip or in the dp path.
 """
 from __future__ import annotations
 
@@ -46,6 +51,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.cg import pcg
+from ..ops.solve import spd_inverse
+from ..utils import blocks as blk
 from .fft_sharded import (
     GridShardInfo,
     host_weights,
@@ -69,13 +76,51 @@ LN2PI = math.log(2.0 * math.pi)
 
 
 def _check_model(model):
-    if model.family != "mean-field":
+    if model.family not in ("mean-field", "block"):
         raise ValueError(
             "grid-sharded (model-parallel) HIP-GP supports the mean-field "
-            f"family; got {model.family!r}"
+            f"and block families; got {model.family!r}"
         )
     if model.whitened_type != "ziggy":
         raise ValueError("grid sharding requires whitened_type='ziggy'")
+
+
+def _local_block_indices(model, info: GridShardInfo):
+    """(blk_idx, inverse, nb_local) for the blocks owned by one grid shard.
+
+    Every shard owns the same LOCAL index tables: within a shard, the flat
+    layout is the C order of ``(rows_per,) + edims[1:]`` (nd >= 2) or a
+    contiguous run of ``Mp_local`` entries (nd == 1, four-step order is
+    row-contiguous), so `utils.blocks.block_indices` over the LOCAL dims
+    reproduces exactly the shard's slice of the global block enumeration
+    (blocks enumerate the leading chunk coordinate slowest, which is the
+    sharded coordinate)."""
+    sizes = model.block_sizes
+    if info.nd == 1:
+        local_dims = (info.Mp_local,)
+        if info.Mp_local % sizes[0]:
+            raise ValueError(
+                f"block size {sizes[0]} does not divide the per-shard length "
+                f"{info.Mp_local} (= edims[0]/n_grid); choose a block size "
+                "dividing it, or fewer shards"
+            )
+    else:
+        local_dims = (info.rows_per,) + info.edims[1:]
+        if info.rows_per % sizes[0]:
+            raise ValueError(
+                f"leading block chunk {sizes[0]} does not divide the "
+                f"per-shard row count {info.rows_per} (= edims[0]/n_grid); "
+                "choose an aligned block size, or fewer shards"
+            )
+    bidx, binv = blk.block_indices(local_dims, sizes)
+    return jnp.asarray(bidx), jnp.asarray(binv), bidx.shape[0]
+
+
+def _local_block_mul(S_block, v, bidx, binv):
+    """(nb_loc, bs, bs) block-diag applied to (bsz, Mp_local) local vectors."""
+    vb = blk.to_blocks(v, bidx)
+    Sv = jnp.einsum("nij,bnj->bni", S_block, vb)
+    return blk.from_blocks(Sv, binv)
 
 
 def grid_state_spec(model, grid_axis: str = "grid"):
@@ -93,8 +138,9 @@ def grid_state_spec(model, grid_axis: str = "grid"):
 
 
 def mp_shard_state(state, mesh: Mesh, grid_axis: str = "grid"):
-    """Place a mean-field state with its theta vectors sharded over the
-    grid axis (scalars replicated)."""
+    """Place a mean-field/block state with its theta leaves sharded over
+    the grid axis (block theta2 shards on the block axis; scalars
+    replicated)."""
     spec = grid_state_spec(None, grid_axis)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), state, spec
@@ -172,12 +218,40 @@ def _local_embedded_knm(
     return x.reshape(bsz, -1)
 
 
-def _local_mf_standard_params(model, theta1_loc, theta2_loc):
-    """(qm, qS) local slices from the stored parameterization (mean-field)."""
+def _local_standard_params(model, theta1_loc, theta2_loc, bidx=None,
+                           binv=None):
+    """(qm, qS) local slices from the stored parameterization.
+
+    Mean-field: theta2_loc (Mp_local,).  Block: theta2_loc
+    (nb_local, bs, bs) — the inverse/multiply are block-local, so the
+    conversion needs no collective."""
     if model.parameterization == "standard":
         return theta1_loc, theta2_loc
-    qS = -0.5 / theta2_loc
-    return qS * theta1_loc, qS
+    if model.family == "mean-field":
+        qS = -0.5 / theta2_loc
+        return qS * theta1_loc, qS
+    qS = spd_inverse(-2.0 * theta2_loc)
+    qm = _local_block_mul(qS, theta1_loc[None, :], bidx, binv)[0]
+    return qm, qS
+
+
+def _local_knSkn(model, kn, qS, bidx=None, binv=None):
+    """Local contribution to diag(kn S kn^T); caller psums over 'grid'."""
+    if model.family == "mean-field":
+        return (kn * kn) @ qS
+    Skn = _local_block_mul(qS, kn, bidx, binv)
+    return jnp.sum(kn * Skn, axis=-1)
+
+
+def _local_kl(model, qm, qS):
+    """Local KL contribution (sum over this shard's coords/blocks);
+    caller psums over 'grid'.  Both families' KL terms are sums over
+    independent per-coordinate / per-block pieces."""
+    if model.family == "mean-field":
+        return 0.5 * jnp.sum(qS + qm * qm - 1.0 - jnp.log(qS))
+    from ..utils import stats
+
+    return stats.block_kl_to_standard(qm, qS)
 
 
 def _pad_rows(arrays, total, fills):
@@ -207,7 +281,7 @@ def mp_batch_solve(
     dp_axis: str = "dp",
     grid_axis: str = "grid",
 ):
-    """Closed-form optimal mean-field q with M' sharded over ``grid_axis``
+    """Closed-form optimal q (mean-field/block) with M' sharded over ``grid_axis``
     and data rows over ``dp_axis`` (`ziggy/hipgp.py:278-368`, distributed).
 
     Returns the new state (theta vectors grid-sharded), or
@@ -243,6 +317,11 @@ def mp_batch_solve(
 
     params = (jnp.exp(state.log_sig2), jnp.exp(state.log_ell))
     has_ns = ns_p is not None
+    is_block = model.family == "block"
+    if is_block:
+        bidx, binv, nb_loc = _local_block_indices(model, info)
+    else:
+        bidx = binv = None
 
     def local_fn(log_noise2, xb, yb, wb, nsb, kb, wgt):
         gidx = jax.lax.axis_index(grid_axis)
@@ -253,6 +332,12 @@ def mp_batch_solve(
             if nsl is not None:
                 return wl / (nsl * nsl)
             return wl * jnp.exp(-log_noise2)
+
+        def local_lam(ivar, kn):
+            if not is_block:
+                return jnp.sum(ivar[:, None] * kn * kn, axis=0)
+            knb = blk.to_blocks(kn, bidx)  # (bsz, nb_loc, bs)
+            return jnp.einsum("bni,bnj,b->nij", knb, knb, ivar)
 
         def body(carry, inp):
             lam_a, b_a = carry
@@ -265,11 +350,15 @@ def mp_batch_solve(
             )
             kn = local_whiten(knm, wgt, info, grid_axis,
                               maxiter=maxiter_cg, tol=tol, mask=mask)
-            lam_a = lam_a + jnp.sum(ivar[:, None] * kn * kn, axis=0)
+            lam_a = lam_a + local_lam(ivar, kn)
             b_a = b_a + kn.T @ (ivar * yl)
             return (lam_a, b_a), (kn, ivar)
 
-        lam0 = jnp.zeros((Mp_loc,), dtype)
+        bs = model.block_size if is_block else 0
+        lam0 = (
+            jnp.zeros((nb_loc, bs, bs), dtype) if is_block
+            else jnp.zeros((Mp_loc,), dtype)
+        )
         b0 = jnp.zeros((Mp_loc,), dtype)
         lam0, b0 = jax.lax.pcast((lam0, b0), (dp_axis, grid_axis),
                                  to="varying")
@@ -302,20 +391,29 @@ def mp_batch_solve(
         mhat = pcg(big_mv, b[None], maxiter=mean_solver_maxiter,
                    tol=mean_solver_tol, dot_fn=grid_dot)[0]
 
-        lam_I = lam + 1.0
-        if model.parameterization == "standard":
-            theta1, theta2 = mhat, 1.0 / lam_I
+        if is_block:
+            lam_I = lam + jnp.eye(bs, dtype=dtype)
+            if model.parameterization == "standard":
+                theta1, theta2 = mhat, spd_inverse(lam_I)
+            else:
+                theta1 = _local_block_mul(lam_I, mhat[None, :], bidx, binv)[0]
+                theta2 = -0.5 * lam_I
         else:
-            theta1, theta2 = mhat * lam_I, -0.5 * lam_I
+            lam_I = lam + 1.0
+            if model.parameterization == "standard":
+                theta1, theta2 = mhat, 1.0 / lam_I
+            else:
+                theta1, theta2 = mhat * lam_I, -0.5 * lam_I
 
         if not compute_elbo:
             zero = jnp.zeros((), dtype)
             return theta1, theta2, zero
 
-        qm, qS = _local_mf_standard_params(model, theta1, theta2)
+        qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
         knm_all = jax.lax.psum(kn_all @ qm, grid_axis)  # (N_local,)
         knkn = jax.lax.psum(jnp.sum(kn_all * kn_all, axis=-1), grid_axis)
-        knSkn = jax.lax.psum((kn_all * kn_all) @ qS, grid_axis)
+        knSkn = jax.lax.psum(_local_knSkn(model, kn_all, qS, bidx, binv),
+                             grid_axis)
         y_all = yb.reshape(-1)
         w_all = wb.reshape(-1)
         if has_ns:
@@ -335,8 +433,7 @@ def mp_batch_solve(
             - 0.5 * LN2PI
         )
         total_an = jax.lax.psum(jnp.sum(an * w_all), dp_axis)
-        kl_loc = 0.5 * jnp.sum(qS + qm * qm - 1.0 - jnp.log(qS))
-        kl = jax.lax.psum(kl_loc, grid_axis)
+        kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
         elbo = total_an / N - kl / model.N
         return theta1, theta2, elbo
 
@@ -403,11 +500,16 @@ def mp_predict(
     keys = jax.random.split(key, nsteps)
 
     params = (jnp.exp(state.log_sig2), jnp.exp(state.log_ell))
+    if model.family == "block":
+        bidx, binv, _ = _local_block_indices(model, info)
+    else:
+        bidx = binv = None
 
     def local_fn(theta1_loc, theta2_loc, xb, kb, wgt):
         gidx = jax.lax.axis_index(grid_axis)
         mask = local_mask(info, gidx, dtype)
-        qm, qS = _local_mf_standard_params(model, theta1_loc, theta2_loc)
+        qm, qS = _local_standard_params(model, theta1_loc, theta2_loc,
+                                        bidx, binv)
 
         def body(_, inp):
             xl, kl = inp
@@ -420,7 +522,8 @@ def mp_predict(
                               maxiter=maxiter_cg, tol=tol, mask=mask)
             mu = jax.lax.psum(kn @ qm, grid_axis)
             knkn = jax.lax.psum(jnp.sum(kn * kn, axis=-1), grid_axis)
-            knSkn = jax.lax.psum((kn * kn) @ qS, grid_axis)
+            knSkn = jax.lax.psum(_local_knSkn(model, kn, qS, bidx, binv),
+                                 grid_axis)
             if integrated_obs:
                 Knn = model.diag_interp(xl, params)
             else:
@@ -603,7 +706,7 @@ def mp_svigp_fit(
     **fit_kwargs,
 ):
     """Grid+data-sharded natural-gradient SVI: `infer.svigp_fit` with the
-    whitening solve distributed over the mesh (mean-field family).
+    whitening solve distributed over the mesh (mean-field/block).
 
     The state's theta vectors are placed grid-sharded, batch rows commit to
     the dp axis, and the jitted epoch scan runs unchanged — every optimizer

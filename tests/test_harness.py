@@ -298,3 +298,36 @@ def test_parallel_rejects_bad_combo(tmp_path):
             model_class="full-rank", parallel="mp",
             output_dir=str(tmp_path),
         )
+
+
+def test_fit_predict_and_save_mp_block(tmp_path):
+    """parallel='mp' with the block family end-to-end through the harness."""
+    d = small_data()
+    cfg = FitConfig(epochs=2, batch_size=96, lr=0.02, maxiter_cg=30)
+    common = dict(
+        xobs=d["xobs"], yobs=d["yobs"], sobs=d["sobs"],
+        xinduce_grids=[np.linspace(-1, 1, 8)] * 2,
+        model_class="block-diagonal",
+        kernel="SqExp",
+        ell_init=0.3,
+        fit_method="full-batch",
+        fit_config=cfg,
+        maxiter_cg=30,
+        # padded edims (16, 16), 8 shards -> rows_per=2; chunk (2, 4) aligns
+        block_sizes=(2, 4),
+        xtest=d["xtest"], ftest=d["ftest"],
+        output_dir=str(tmp_path),
+        grid_shards=8,
+        dtype=jnp.float64,
+    )
+    model, state, report = fit_predict_and_save(
+        name="mp-block", parallel="mp", **common
+    )
+    assert (tmp_path / "mp-block" / "errordf-summary.csv").exists()
+    _, _, ref_report = fit_predict_and_save(
+        name="ref-mp-block", parallel=None, **common
+    )
+    np.testing.assert_allclose(
+        report["pdict"]["fmu_test"], ref_report["pdict"]["fmu_test"],
+        rtol=1e-4, atol=5e-5,
+    )

@@ -182,3 +182,34 @@ def test_mp_kn_fn_1d_four_step():
     np.testing.assert_allclose(np.asarray(kn), np.asarray(kn_ref),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(knn), np.asarray(Knn_ref))
+
+
+def test_mp_block_natgrad_trajectory_matches_single_device():
+    """Block family through the mp training loop: the block natgrad branch
+    (`ziggy/hipgp.py:527-690`) runs on grid-sharded global arrays — theta2
+    (num_blocks, bs, bs) sharded along the block axis, block gathers handled
+    by XLA's sharding propagation over the sharded kn."""
+    x, y, s = _data()
+    ng = 4
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 11)] * 2, num_obs=len(x),
+                  family="block", block_sizes=(5, 4), ell_init=0.15,
+                  noise2_init=0.01, grid_shards=ng, dtype=jnp.float64)
+    state = model.init_state()
+    cfg = FitConfig(epochs=2, batch_size=100, lr=0.01, maxiter_cg=30)
+
+    st_ref, rep_ref = svigp_fit(model, state, x, y, s, cfg, verbose=False,
+                                theta2_warmstart=True)
+    mesh = _mesh(2, ng)
+    st_mp, rep_mp = mp_svigp_fit(model, state, x, y, s, cfg, mesh,
+                                 verbose=False, theta2_warmstart=True)
+    np.testing.assert_allclose(rep_mp["epoch_elbos"], rep_ref["epoch_elbos"],
+                               rtol=1e-5)
+    assert _rel(st_mp.theta1, st_ref.theta1) < 1e-5
+    assert _rel(st_mp.theta2, st_ref.theta2) < 1e-5
+    xq, _, _ = _data(N=64, seed=7)
+    mu_ref, sig_ref = model.predict(st_ref, xq, maxiter_cg=30)
+    mu, sig = mp_predict(model, st_mp, xq, mesh, maxiter_cg=30)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               rtol=1e-4, atol=5e-5)
