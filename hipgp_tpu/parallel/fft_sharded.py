@@ -62,6 +62,7 @@ __all__ = [
     "shard_multiples",
     "host_weights",
     "local_circulant_apply",
+    "local_spectrum_weights",
     "local_whiten",
     "local_whiten_diff",
     "local_mask",
@@ -232,6 +233,43 @@ def local_circulant_apply(
     return x
 
 
+def _four_step_twiddle(info: GridShardInfo, axis_name: str, cdtype):
+    L0, L1, L = info.L0, info.L1, info.L0 * info.L1
+    idx = jax.lax.axis_index(axis_name)
+    n1g = idx * (L1 // info.n) + jnp.arange(L1 // info.n)
+    k0 = jnp.arange(L0)
+    return jnp.exp(
+        (-2j * jnp.pi / L) * (k0[:, None] * n1g[None, :])
+    ).astype(cdtype)
+
+
+def _four_step_forward(z, tw, info: GridShardInfo, axis_name: str):
+    """Distributed four-step DFT: (B, L0/n, L1) n0-sharded C-order view ->
+    (B, L0/n, L1) in the four-step OUTPUT order z[k0_local, k1] with
+    X[k1*L0 + k0] = z[k0, k1] (the layout of :func:`host_weights`)."""
+    # make n0 local (n1 becomes sharded): (B, L0/n, L1) -> (B, L0, L1/n)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
+                           tiled=True)
+    z = jnp.fft.fft(z, axis=1)  # DFT_{L0} over n0 -> [k0, n1_local]
+    z = z * tw[None]
+    # make n1 local (k0 becomes sharded): (B, L0, L1/n) -> (B, L0/n, L1)
+    z = jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
+                           tiled=True)
+    return jnp.fft.fft(z, axis=2)  # DFT_{L1} over n1 -> [k0_local, k1]
+
+
+def _four_step_inverse(z, tw, info: GridShardInfo, axis_name: str):
+    """Inverse of :func:`_four_step_forward` (same layouts, reversed)."""
+    z = jnp.fft.ifft(z, axis=2)
+    # back: k0 local again, n1 sharded
+    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
+                           tiled=True)
+    z = z * jnp.conj(tw)[None]
+    z = jnp.fft.ifft(z, axis=1)
+    return jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
+
+
 def _four_step_apply(x, wt_local, info: GridShardInfo, axis_name: str):
     """1-D circulant apply via the distributed four-step FFT.
 
@@ -239,35 +277,97 @@ def _four_step_apply(x, wt_local, info: GridShardInfo, axis_name: str):
     vector, rows (n0) sharded.  wt_local: (L0/n, L1) shard of the
     four-step-ordered spectrum Wt[k0, k1] = W[k1*L0 + k0].
     """
-    L0, L1, L = info.L0, info.L1, info.L0 * info.L1
-    n = info.n
     dtype = x.dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    z = x.astype(cdtype)
-
-    idx = jax.lax.axis_index(axis_name)
-    # make n0 local (n1 becomes sharded): (B, L0/n, L1) -> (B, L0, L1/n)
-    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
-                           tiled=True)
-    z = jnp.fft.fft(z, axis=1)  # DFT_{L0} over n0 -> [k0, n1_local]
-    n1g = idx * (L1 // n) + jnp.arange(L1 // n)
-    k0 = jnp.arange(L0)
-    tw = jnp.exp((-2j * jnp.pi / L) * (k0[:, None] * n1g[None, :])).astype(cdtype)
-    z = z * tw[None]
-    # make n1 local (k0 becomes sharded): (B, L0, L1/n) -> (B, L0/n, L1)
-    z = jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
-                           tiled=True)
-    z = jnp.fft.fft(z, axis=2)  # DFT_{L1} over n1 -> [k0_local, k1]
+    tw = _four_step_twiddle(info, axis_name, cdtype)
+    z = _four_step_forward(x.astype(cdtype), tw, info, axis_name)
     z = z * wt_local[None]
-    z = jnp.fft.ifft(z, axis=2)
-    # back: k0 local again, n1 sharded
-    z = jax.lax.all_to_all(z, axis_name, split_axis=2, concat_axis=1,
-                           tiled=True)
-    z = z * jnp.conj(tw)[None]
-    z = jnp.fft.ifft(z, axis=1)
-    z = jax.lax.all_to_all(z, axis_name, split_axis=1, concat_axis=2,
-                           tiled=True)
+    z = _four_step_inverse(z, tw, info, axis_name)
     return z.real.astype(dtype)
+
+
+def local_spectrum_weights(
+    xgrids,
+    kernel_fn,
+    info: GridShardInfo,
+    axis_name: str,
+    jitter: float = 1e-3,
+    eig_floor: float = 1e-6,
+):
+    """This shard's slice of the circulant spectrum, built WITHOUT any
+    device ever materializing all M' eigenvalues (call inside shard_map).
+
+    Each shard evaluates the stationary kernel only at its own slice of the
+    wrapped-lag embedded column (`ops.bttb.make_spectrum` semantics,
+    distributed), then one distributed forward DFT — per-axis cosine
+    matmuls for short axes / local FFTs plus the all_to_all transpose for
+    the leading axis (nd >= 2), or the four-step forward (nd == 1) —
+    produces the weights directly in the :func:`host_weights` layout
+    (sharded on the minor axis for nd >= 2; four-step order sharded on k0
+    for nd == 1).  All jnp ops: differentiable in the hyperparameters
+    closed over by ``kernel_fn``.
+
+    Peak per-device memory is O(M'/n) — the round-2 build materialized the
+    full spectrum host-side (`host_weights`) before sharding.
+    """
+    dtype = jnp.asarray(xgrids[0]).dtype
+    edims = info.edims
+    gidx = jax.lax.axis_index(axis_name)
+
+    def wrapped_lag(flat_idx, L, g):
+        g = jnp.asarray(g)
+        h = g[1] - g[0]
+        lag = jnp.minimum(flat_idx, L - flat_idx).astype(dtype) * h
+        return g[0] + lag
+
+    if info.nd == 1:
+        L, L1 = edims[0], info.L1
+        flat = gidx * info.Mp_local + jnp.arange(info.Mp_local)
+        pts = wrapped_lag(flat, L, xgrids[0])[:, None]
+        x0 = jnp.asarray(xgrids[0])[:1, None]
+        c = kernel_fn(x0, pts)[0]
+        c = c + jitter * (flat == 0).astype(dtype)
+        z = c.reshape(1, info.rows_per, L1)
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        tw = _four_step_twiddle(info, axis_name, cdtype)
+        w = _four_step_forward(z.astype(cdtype), tw, info, axis_name)
+        w = w[0].real.astype(dtype)
+        return jnp.maximum(w, jnp.asarray(eig_floor, dtype))
+
+    rows_per = info.rows_per
+    r = gidx * rows_per + jnp.arange(rows_per)
+    coords = [wrapped_lag(r, edims[0], xgrids[0])]
+    for g, L in zip(xgrids[1:], edims[1:]):
+        coords.append(wrapped_lag(jnp.arange(L), L, g))
+    mesh_pts = jnp.meshgrid(*coords, indexing="ij")
+    pts = jnp.stack([m.reshape(-1) for m in mesh_pts], axis=-1)
+    origin = jnp.stack([jnp.asarray(g)[0] for g in xgrids])[None, :]
+    c = kernel_fn(origin, pts)[0]
+    is_origin = (r[0] == 0).astype(dtype)
+    c = c.at[0].add(jitter * is_origin)
+    x = c.reshape((rows_per,) + edims[1:])
+
+    # true DFT per axis (cosine matmul exact for even axes; local FFT for
+    # long ones — realness is preserved axis-by-axis because the embedded
+    # column is even along every axis), trailing axes local first
+    max_len = info.matmul_max_len
+    nd = info.nd
+
+    def axis_dft(x, L, axis):
+        if L <= max_len:
+            from ..ops.bttb import _cosine_matrix
+
+            return _axis_contract(x, _cosine_matrix(L, dtype), axis)
+        cplx = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        return jnp.fft.fft(x.astype(cplx), axis=axis).real.astype(dtype)
+
+    for a in range(-1, -nd, -1):
+        x = axis_dft(x, edims[a], a)
+    # (L0/n, ..., Lm) -> (L0, ..., Lm/n): the host_weights minor-shard layout
+    x = jax.lax.all_to_all(x, axis_name, split_axis=x.ndim - 1,
+                           concat_axis=0, tiled=True)
+    x = axis_dft(x, edims[0], -nd)
+    return jnp.maximum(x, jnp.asarray(eig_floor, dtype))
 
 
 def local_mask(info: GridShardInfo, shard_idx, dtype) -> jnp.ndarray:

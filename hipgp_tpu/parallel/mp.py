@@ -56,7 +56,9 @@ from ..utils import blocks as blk
 from .fft_sharded import (
     GridShardInfo,
     host_weights,
+    local_circulant_apply,
     local_mask,
+    local_spectrum_weights,
     local_whiten,
     local_whiten_diff,
     weights_pspec,
@@ -123,6 +125,70 @@ def _local_block_mul(S_block, v, bidx, binv):
     return blk.from_blocks(Sv, binv)
 
 
+def _full_knm(model, params, xb, integrated_obs, semi_integrated_estimator,
+              semi_integrated_samps, key):
+    """(bsz, M) ORIGINAL-space cross-covariance — the gram mean solver's
+    M-space accumulation unit (replicated over 'grid'; M is small in the
+    gram regime, M' is what gets sharded)."""
+    if integrated_obs:
+        if semi_integrated_estimator == "analytic":
+            from ..kernels import k_semi_sqexp
+
+            return k_semi_sqexp(model.xinduce, xb, params).T
+        if semi_integrated_estimator == "mc-biased":
+            from ..kernels import k_semi_mc
+
+            k = key if key is not None else jax.random.PRNGKey(0)
+            return k_semi_mc(k, model.kernel, model.xinduce, xb, params,
+                             npts=semi_integrated_samps).T
+        raise ValueError(f"unknown estimator {semi_integrated_estimator!r}")
+    return model.kernel(xb, model.xinduce, params)
+
+
+def _local_orig_indices(model, info: GridShardInfo, gidx):
+    """(flat original-space indices (Mp_local,), validity mask) for this
+    shard's expanded slots: position j of the local expanded slice maps to
+    original flat index idx[j] when mask[j], else idx[j] is clipped junk."""
+    dims = model.dims
+    if info.nd == 1:
+        flat = gidx * info.Mp_local + jnp.arange(info.Mp_local)
+        return jnp.clip(flat, 0, dims[0] - 1), flat < dims[0]
+    rows_per = info.rows_per
+    r = gidx * rows_per + jnp.arange(rows_per)
+    rvalid = r < dims[0]
+    tshape = info.edims[1:]
+    tidx = jnp.zeros((), jnp.int32)
+    tvalid = jnp.ones((), bool)
+    stride = 1
+    # trailing original flat index + validity, built axis by axis (C order)
+    for a in range(len(dims) - 1, 0, -1):
+        j = jnp.arange(tshape[a - 1])
+        shape = [1] * (len(dims) - 1)
+        shape[a - 1] = tshape[a - 1]
+        j = j.reshape(shape)
+        tidx = tidx + jnp.minimum(j, dims[a] - 1) * stride
+        tvalid = tvalid & (j < dims[a])
+        stride *= dims[a]
+    idx = jnp.clip(r, 0, dims[0] - 1)[:, None] * stride + tidx.reshape(1, -1)
+    valid = rvalid[:, None] & tvalid.reshape(1, -1)
+    return idx.reshape(-1), valid.reshape(-1)
+
+
+def _local_embed_from_orig(v, idx, mask, dtype):
+    """(B, M) replicated original-space vectors -> (B, Mp_local) local
+    expanded slice (original entries in place, padding zeros)."""
+    return v[:, idx] * mask.astype(dtype)[None, :]
+
+
+def _local_crop_psum(out_local, idx, mask, M, grid_axis):
+    """(B, Mp_local) local expanded -> (B, M) original-space, reassembled
+    across grid shards (each original slot is owned by exactly one shard)."""
+    B = out_local.shape[0]
+    vals = out_local * mask.astype(out_local.dtype)[None, :]
+    full = jnp.zeros((B, M), out_local.dtype).at[:, idx].add(vals)
+    return jax.lax.psum(full, grid_axis)
+
+
 def grid_state_spec(model, grid_axis: str = "grid"):
     """HIPGPState-shaped PartitionSpec pytree: thetas sharded over the grid
     axis, scalars replicated."""
@@ -187,24 +253,33 @@ def _local_embedded_knm(
         local_dims = (rows_per,) + dims[1:]
         local_shape = info.local_shape
 
-    if integrated_obs:
-        if semi_integrated_estimator == "analytic":
-            from ..kernels import k_semi_sqexp
+    def eval_knm(_):
+        if integrated_obs:
+            if semi_integrated_estimator == "analytic":
+                from ..kernels import k_semi_sqexp
 
-            Knm = k_semi_sqexp(pts, xb, params).T  # (bsz, n_local_pts)
-        elif semi_integrated_estimator == "mc-biased":
-            from ..kernels import k_semi_mc
+                return k_semi_sqexp(pts, xb, params).T  # (bsz, n_local_pts)
+            if semi_integrated_estimator == "mc-biased":
+                from ..kernels import k_semi_mc
 
-            if key is None:
-                key = jax.random.PRNGKey(0)
-            Knm = k_semi_mc(key, model.kernel, pts, xb, params,
-                            npts=semi_integrated_samps).T
-        else:
+                k = key if key is not None else jax.random.PRNGKey(0)
+                return k_semi_mc(k, model.kernel, pts, xb, params,
+                                 npts=semi_integrated_samps).T
             raise ValueError(
                 f"unknown estimator {semi_integrated_estimator!r}"
             )
-    else:
-        Knm = model.kernel(xb, pts, params)  # (bsz, n_local_pts)
+        return model.kernel(xb, pts, params)  # (bsz, n_local_pts)
+
+    # shards entirely inside the circulant padding region (the upper rows of
+    # the expanded leading axis — up to HALF the shards) skip the kernel
+    # evaluation outright; shard_idx is traced, so this is a real runtime
+    # branch, not a compile-time one
+    Knm = jax.lax.cond(
+        jnp.any(valid),
+        eval_knm,
+        lambda _: jnp.zeros((bsz, pts.shape[0]), dtype),
+        operand=None,
+    )
 
     x = Knm.reshape((bsz,) + local_dims)
     if info.nd == 1:
@@ -278,6 +353,8 @@ def mp_batch_solve(
     semi_integrated_samps: int = 10,
     key=None,
     compute_elbo: bool = False,
+    mean_solver: str = "cg",
+    spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
 ):
@@ -285,15 +362,41 @@ def mp_batch_solve(
     and data rows over ``dp_axis`` (`ziggy/hipgp.py:278-368`, distributed).
 
     Returns the new state (theta vectors grid-sharded), or
-    ``(new_state, elbo)`` when ``compute_elbo`` — the ELBO pass reuses the
-    sharded kn stack, no second whitening sweep.
+    ``(new_state, elbo)`` when ``compute_elbo``.
+
+    ``mean_solver``:
+
+    * 'cg' (default) — solve (I + sum_n kn kn^T/s_n^2) m = b by CG with the
+      kn stack kept sharded both ways: O(N_local x M'/n_grid) memory per
+      device; the ELBO pass reuses the stack (no second whitening sweep).
+    * 'gram' — the exact Woodbury collapse m = R (K + A)^{-1} b_m
+      (`models/hipgp.py` batch_solve, distributed): A = sum_n Knm_n
+      Knm_n^T/s_n^2 is an M-space object accumulated over 'dp' (replicated
+      over 'grid'); the (K + A) PCG runs with K as the grid-sharded
+      circulant apply.  NO kn stack is kept — per-device memory is
+      O(M^2 + bsz x M'/n_grid), independent of N and M', so this is the
+      path for M' beyond what the stacked-kn profile can hold.  The ELBO
+      pass (if requested) recomputes kn batch-by-batch.
+
+    ``spectrum_mode``: 'host' builds the full spectrum host-side and
+    shards it ('round-2' behavior); 'sharded' builds it in-graph via
+    `fft_sharded.local_spectrum_weights` — per-device peak memory O(M'/n),
+    no device ever materializes all M' eigenvalues.
     """
     _check_model(model)
+    if mean_solver not in ("cg", "gram"):
+        raise ValueError(f"mean_solver={mean_solver!r}; choose 'cg' | 'gram'")
+    if spectrum_mode not in ("host", "sharded"):
+        raise ValueError(f"spectrum_mode={spectrum_mode!r}")
     ndp = mesh.shape[dp_axis]
     ng = mesh.shape[grid_axis]
-    spec = model.spectrum(state)
-    info = GridShardInfo(spec, ng)
-    w_host = host_weights(spec, info)
+    if spectrum_mode == "host":
+        spec = model.spectrum(state)
+        info = GridShardInfo(spec, ng)
+        w_host = host_weights(spec, info)
+    else:
+        info = _static_shard_info(model, ng)
+        w_host = jnp.zeros((), model.dtype)  # dummy; built per-shard in-graph
 
     N = xobs.shape[0]
     y = yobs.reshape(-1)
@@ -323,8 +426,14 @@ def mp_batch_solve(
     else:
         bidx = binv = None
 
+    kfun = lambda a, b: model.kernel(a, b, params)
+    use_gram = mean_solver == "gram"
+
     def local_fn(log_noise2, xb, yb, wb, nsb, kb, wgt):
         gidx = jax.lax.axis_index(grid_axis)
+        if spectrum_mode == "sharded":
+            wgt = local_spectrum_weights(model.xgrids, kfun, info, grid_axis,
+                                         jitter=model.jitter)
         mask = local_mask(info, gidx, dtype)
         Mp_loc = info.Mp_local
 
@@ -339,17 +448,28 @@ def mp_batch_solve(
             knb = blk.to_blocks(kn, bidx)  # (bsz, nb_loc, bs)
             return jnp.einsum("bni,bnj,b->nij", knb, knb, ivar)
 
-        def body(carry, inp):
-            lam_a, b_a = carry
-            xl, yl, wl, nsl, kl = inp
-            ivar = ivar_of(wl, nsl)
+        def local_kn(xl, kl):
             knm = _local_embedded_knm(
                 model, params, xl, info, gidx,
                 integrated_obs, semi_integrated_estimator,
                 semi_integrated_samps, kl,
             )
-            kn = local_whiten(knm, wgt, info, grid_axis,
-                              maxiter=maxiter_cg, tol=tol, mask=mask)
+            return local_whiten(knm, wgt, info, grid_axis,
+                                maxiter=maxiter_cg, tol=tol, mask=mask)
+
+        def body(carry, inp):
+            xl, yl, wl, nsl, kl = inp
+            ivar = ivar_of(wl, nsl)
+            kn = local_kn(xl, kl)
+            if use_gram:
+                lam_a, A_a, bm_a = carry
+                Knm = _full_knm(model, params, xl, integrated_obs,
+                                semi_integrated_estimator,
+                                semi_integrated_samps, kl)
+                A_a = A_a + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar)
+                bm_a = bm_a + Knm.T @ (ivar * yl)
+                return (lam_a + local_lam(ivar, kn), A_a, bm_a), None
+            lam_a, b_a = carry
             lam_a = lam_a + local_lam(ivar, kn)
             b_a = b_a + kn.T @ (ivar * yl)
             return (lam_a, b_a), (kn, ivar)
@@ -359,37 +479,67 @@ def mp_batch_solve(
             jnp.zeros((nb_loc, bs, bs), dtype) if is_block
             else jnp.zeros((Mp_loc,), dtype)
         )
-        b0 = jnp.zeros((Mp_loc,), dtype)
-        lam0, b0 = jax.lax.pcast((lam0, b0), (dp_axis, grid_axis),
-                                 to="varying")
-        if has_ns:
-            (lam, b), (kn_stack, ivar_stack) = jax.lax.scan(
-                body, (lam0, b0), (xb, yb, wb, nsb, kb)
-            )
+        if use_gram:
+            carry0 = (lam0, jnp.zeros((model.M, model.M), dtype),
+                      jnp.zeros((model.M,), dtype))
         else:
-            (lam, b), (kn_stack, ivar_stack) = jax.lax.scan(
+            carry0 = (lam0, jnp.zeros((Mp_loc,), dtype))
+        carry0 = jax.lax.pcast(carry0, (dp_axis, grid_axis), to="varying")
+        if has_ns:
+            carry, ys = jax.lax.scan(body, carry0, (xb, yb, wb, nsb, kb))
+        else:
+            carry, ys = jax.lax.scan(
                 lambda c, i: body(c, (i[0], i[1], i[2], None, i[3])),
-                (lam0, b0), (xb, yb, wb, kb),
+                carry0, (xb, yb, wb, kb),
             )
         # information-form sums are over ALL data: reduce over dp
-        lam = jax.lax.psum(lam, dp_axis)
-        b = jax.lax.psum(b, dp_axis)
-
-        kn_all = kn_stack.reshape(-1, Mp_loc)  # (N_local, Mp_local)
-        ivar_all = ivar_stack.reshape(-1)
-
-        # optimal mean: (I + sum_n kn kn^T / s_n^2) m = b by CG with the kn
-        # stack sharded both ways; m is grid-sharded, replicated over dp
-        def big_mv(v):  # v: (1, Mp_local)
-            u = jax.lax.psum(kn_all @ v[0], grid_axis)  # (N_local,)
-            r = jax.lax.psum(kn_all.T @ (ivar_all * u), dp_axis)
-            return v + r[None]
+        if use_gram:
+            lam, A, bm = jax.lax.psum(carry, dp_axis)
+        else:
+            (lam, b) = jax.lax.psum(carry, dp_axis)
+            kn_stack, ivar_stack = ys
+            kn_all = kn_stack.reshape(-1, Mp_loc)  # (N_local, Mp_local)
+            ivar_all = ivar_stack.reshape(-1)
 
         def grid_dot(a, bb):
             return jax.lax.psum(jnp.sum(a * bb, axis=-1), grid_axis)
 
-        mhat = pcg(big_mv, b[None], maxiter=mean_solver_maxiter,
-                   tol=mean_solver_tol, dot_fn=grid_dot)[0]
+        if use_gram:
+            # Woodbury: m = R (K + A)^{-1} b_m with K the grid-sharded
+            # circulant apply; PCG vectors are (1, M), replicated over the
+            # whole mesh (every device runs the identical iteration)
+            idx, vmask = _local_orig_indices(model, info, gidx)
+
+            def apply_w(v, w):
+                emb = _local_embed_from_orig(v, idx, vmask, dtype)
+                emb = emb.reshape((v.shape[0],) + info.local_shape)
+                out = local_circulant_apply(emb, w, info, grid_axis)
+                return _local_crop_psum(out.reshape(v.shape[0], -1),
+                                        idx, vmask, model.M, grid_axis)
+
+            z = pcg(
+                lambda v: apply_w(v, wgt) + v @ A,
+                bm[None],
+                precond=lambda v: apply_w(v, 1.0 / wgt),
+                maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+            )
+            # mhat = R^T ... in whitened coords: C^{1/2} of the embedded z,
+            # local slice (matmul_by_RT semantics, distributed)
+            embz = _local_embed_from_orig(z, idx, vmask, dtype)
+            embz = embz.reshape((1,) + info.local_shape)
+            mhat = local_circulant_apply(
+                embz, jnp.sqrt(wgt), info, grid_axis
+            ).reshape(-1)
+        else:
+            # optimal mean: (I + sum_n kn kn^T / s_n^2) m = b by CG with the
+            # kn stack sharded both ways; m grid-sharded, replicated over dp
+            def big_mv(v):  # v: (1, Mp_local)
+                u = jax.lax.psum(kn_all @ v[0], grid_axis)  # (N_local,)
+                r = jax.lax.psum(kn_all.T @ (ivar_all * u), dp_axis)
+                return v + r[None]
+
+            mhat = pcg(big_mv, b[None], maxiter=mean_solver_maxiter,
+                       tol=mean_solver_tol, dot_fn=grid_dot)[0]
 
         if is_block:
             lam_I = lam + jnp.eye(bs, dtype=dtype)
@@ -410,29 +560,54 @@ def mp_batch_solve(
             return theta1, theta2, zero
 
         qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
-        knm_all = jax.lax.psum(kn_all @ qm, grid_axis)  # (N_local,)
-        knkn = jax.lax.psum(jnp.sum(kn_all * kn_all, axis=-1), grid_axis)
-        knSkn = jax.lax.psum(_local_knSkn(model, kn_all, qS, bidx, binv),
-                             grid_axis)
-        y_all = yb.reshape(-1)
-        w_all = wb.reshape(-1)
-        if has_ns:
-            ns_all = nsb.reshape(-1)
-            log_ns = jnp.log(ns_all)
+
+        def diag_of(x_all):
+            if integrated_obs:
+                return model.diag_interp(x_all, params)
+            return model.kernel.diag(x_all, params)
+
+        def an_of(kn, x_all, y_all, ivar, nsl):
+            knm_m = jax.lax.psum(kn @ qm, grid_axis)
+            knkn = jax.lax.psum(jnp.sum(kn * kn, axis=-1), grid_axis)
+            knSkn = jax.lax.psum(_local_knSkn(model, kn, qS, bidx, binv),
+                                 grid_axis)
+            log_ns = jnp.log(nsl) if nsl is not None else 0.5 * log_noise2
+            return (
+                -0.5 * ivar * ((knm_m - y_all) ** 2 + diag_of(x_all)
+                               - knkn + knSkn)
+                - log_ns
+                - 0.5 * LN2PI
+            )
+
+        if use_gram:
+            # no kn stack was kept: recompute kn batch-by-batch (the
+            # reference's second ELBO sweep, `ziggy/hipgp.py:347-368`)
+            def elbo_body(acc, inp):
+                xl, yl, wl, nsl, kl = inp
+                ivar = ivar_of(wl, nsl)
+                kn = local_kn(xl, kl)
+                an = an_of(kn, xl, yl.reshape(-1), ivar, nsl)
+                return acc + jnp.sum(an * wl), None
+
+            acc0 = jax.lax.pcast(jnp.zeros((), dtype),
+                                 (dp_axis, grid_axis), to="varying")
+            if has_ns:
+                total_an, _ = jax.lax.scan(elbo_body, acc0,
+                                           (xb, yb, wb, nsb, kb))
+            else:
+                total_an, _ = jax.lax.scan(
+                    lambda c, i: elbo_body(c, (i[0], i[1], i[2], None, i[3])),
+                    acc0, (xb, yb, wb, kb),
+                )
+            total_an = jax.lax.psum(total_an, dp_axis)
         else:
-            log_ns = 0.5 * log_noise2
-        # prior diagonal: local to the dp shard, replicated over grid
-        x_all = xb.reshape(-1, xb.shape[-1])
-        if integrated_obs:
-            Knn = model.diag_interp(x_all, params)
-        else:
-            Knn = model.kernel.diag(x_all, params)
-        an = (
-            -0.5 * ivar_all * ((knm_all - y_all) ** 2 + Knn - knkn + knSkn)
-            - log_ns
-            - 0.5 * LN2PI
-        )
-        total_an = jax.lax.psum(jnp.sum(an * w_all), dp_axis)
+            y_all = yb.reshape(-1)
+            w_all = wb.reshape(-1)
+            ns_all = nsb.reshape(-1) if has_ns else None
+            x_all = xb.reshape(-1, xb.shape[-1])
+            an = an_of(kn_all, x_all, y_all, ivar_all, ns_all)
+            total_an = jax.lax.psum(jnp.sum(an * w_all), dp_axis)
+
         kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
         elbo = total_an / N - kl / model.N
         return theta1, theta2, elbo
@@ -447,7 +622,8 @@ def mp_batch_solve(
             P(None, dp_axis),
             (P(None, dp_axis) if has_ns else P()),
             P(),
-            weights_pspec(info, grid_axis),
+            (weights_pspec(info, grid_axis) if spectrum_mode == "host"
+             else P()),
         ),
         out_specs=(P(grid_axis), P(grid_axis), P()),
         check_vma=False,
@@ -475,17 +651,25 @@ def mp_predict(
     semi_integrated_estimator: str = "analytic",
     semi_integrated_samps: int = 10,
     key=None,
+    spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(mu*, sig*) with prediction rows sharded over 'dp' and every kn
-    contraction sharded over 'grid' (`ziggy/hipgp.py:416-446`, distributed)."""
+    contraction sharded over 'grid' (`ziggy/hipgp.py:416-446`, distributed).
+
+    ``spectrum_mode='sharded'`` builds the spectrum in-graph per shard
+    (O(M'/n) peak per-device memory) — see `mp_batch_solve`."""
     _check_model(model)
     ndp = mesh.shape[dp_axis]
     ng = mesh.shape[grid_axis]
-    spec = model.spectrum(state)
-    info = GridShardInfo(spec, ng)
-    w_host = host_weights(spec, info)
+    if spectrum_mode == "host":
+        spec = model.spectrum(state)
+        info = GridShardInfo(spec, ng)
+        w_host = host_weights(spec, info)
+    else:
+        info = _static_shard_info(model, ng)
+        w_host = jnp.zeros((), model.dtype)
     dtype = model.dtype
 
     N = x.shape[0]
@@ -507,6 +691,10 @@ def mp_predict(
 
     def local_fn(theta1_loc, theta2_loc, xb, kb, wgt):
         gidx = jax.lax.axis_index(grid_axis)
+        if spectrum_mode == "sharded":
+            kfun = lambda a, b: model.kernel(a, b, params)
+            wgt = local_spectrum_weights(model.xgrids, kfun, info, grid_axis,
+                                         jitter=model.jitter)
         mask = local_mask(info, gidx, dtype)
         qm, qS = _local_standard_params(model, theta1_loc, theta2_loc,
                                         bidx, binv)
@@ -543,7 +731,8 @@ def mp_predict(
             P(grid_axis),
             P(None, dp_axis, None),
             P(),
-            weights_pspec(info, grid_axis),
+            (weights_pspec(info, grid_axis) if spectrum_mode == "host"
+             else P()),
         ),
         out_specs=(P(None, dp_axis), P(None, dp_axis)),
         check_vma=False,
@@ -576,6 +765,7 @@ def make_mp_kn_fn(
     integrated_obs: bool = False,
     semi_integrated_estimator: str = "analytic",
     semi_integrated_samps: int = 10,
+    spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
 ):
@@ -591,11 +781,17 @@ def make_mp_kn_fn(
     sharded solve).  Every downstream contraction (ELBO, natural gradient)
     then runs on the sharded global arrays with XLA-inserted collectives.
 
+    ``spectrum_mode='sharded'`` builds the spectrum in-graph per shard
+    (`local_spectrum_weights` — all jnp ops, so hyper grads flow through
+    the sharded build too); 'host' (default) materializes it host-side.
+
     This is the distributed counterpart of `ziggy/hipgp.py:117-146`
     ``compute_kn``; composed with ``elbo_and_grads`` it distributes the
     reference's natgrad step (`ziggy/hipgp.py:194-276`).
     """
     _check_model(model)
+    if spectrum_mode not in ("host", "sharded"):
+        raise ValueError(f"spectrum_mode={spectrum_mode!r}")
     ng = mesh.shape[grid_axis]
     info = _static_shard_info(model, ng)
     dtype = model.dtype
@@ -612,13 +808,20 @@ def make_mp_kn_fn(
 
     def kn_fn(st, x, key):
         params = (jnp.exp(st.log_sig2), jnp.exp(st.log_ell))
-        spec = model.spectrum(st, transform=spec_transform)
-        w_h = host_weights(spec, info)
+        if spectrum_mode == "host":
+            spec = model.spectrum(st, transform=spec_transform)
+            w_h = host_weights(spec, info)
+        else:
+            w_h = jnp.zeros((), dtype)
         if key is None:
             key = jax.random.PRNGKey(0)
 
         def local_fn(prm, kl, xl, wgt):
             gidx = jax.lax.axis_index(grid_axis)
+            if spectrum_mode == "sharded":
+                kf = lambda a, b: model.kernel(a, b, prm)
+                wgt = local_spectrum_weights(model.xgrids, kf, info,
+                                             grid_axis, jitter=model.jitter)
             mask = local_mask(info, gidx, dtype)
             knm = _local_embedded_knm(
                 model, prm, xl, info, gidx,
@@ -632,7 +835,8 @@ def make_mp_kn_fn(
             local_fn,
             mesh=mesh,
             in_specs=(P(), P(), P(dp_axis, None),
-                      weights_pspec(info, grid_axis)),
+                      (weights_pspec(info, grid_axis)
+                       if spectrum_mode == "host" else P())),
             out_specs=P(dp_axis, grid_axis),
             check_vma=False,
         )
@@ -662,6 +866,7 @@ def mp_elbo_and_grads(
     key=None,
     weights: Optional[jnp.ndarray] = None,
     compute_hyper_grads: bool = False,
+    spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
 ):
@@ -679,6 +884,7 @@ def mp_elbo_and_grads(
         integrated_obs=integrated_obs,
         semi_integrated_estimator=semi_integrated_estimator,
         semi_integrated_samps=semi_integrated_samps,
+        spectrum_mode=spectrum_mode,
         dp_axis=dp_axis, grid_axis=grid_axis,
     )
     return model.elbo_and_grads(
@@ -701,6 +907,7 @@ def mp_svigp_fit(
     noise_std_train,
     config,
     mesh: Mesh,
+    spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
     **fit_kwargs,
@@ -730,6 +937,7 @@ def mp_svigp_fit(
         integrated_obs=config.integrated_obs,
         semi_integrated_estimator=config.semi_integrated_estimator,
         semi_integrated_samps=config.num_semi_mc_samples,
+        spectrum_mode=spectrum_mode,
         dp_axis=dp_axis, grid_axis=grid_axis,
     )
 

@@ -158,3 +158,38 @@ def test_shard_multiples_padding_is_exact():
         np.asarray(sharded_matmul_by_K(spec_pad, b, mesh)),
         np.asarray(b @ Kd), rtol=1e-9, atol=1e-11,
     )
+
+
+def test_local_spectrum_weights_matches_host():
+    """In-graph per-shard spectrum build (no device materializes all M'
+    eigenvalues) vs host_weights, machine precision, 1-D/2-D/3-D."""
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from hipgp_tpu.ops import make_spectrum
+    from hipgp_tpu.parallel.fft_sharded import (
+        GridShardInfo, host_weights, local_spectrum_weights, shard_multiples,
+        weights_pspec,
+    )
+    from hipgp_tpu.kernels import Matern, SqExp
+
+    cases = [((11, 13), 4, SqExp(), 0.15),
+             ((9, 7, 6), 4, Matern(2.5), 0.2),
+             ((40,), 4, SqExp(), 0.08),
+             ((300,), 8, Matern(1.5), 0.01)]
+    for dims, ng, kern, ell in cases:
+        grids = [jnp.linspace(0.0, 1.0, m) for m in dims]
+        kf = lambda a, b: kern(a, b, (1.3, ell))
+        spec = make_spectrum(grids, kf, jitter=1e-3,
+                             multiple_of=shard_multiples(dims, ng))
+        info = GridShardInfo(spec, ng)
+        want = host_weights(spec, info)
+        mesh = Mesh(np.array(jax.devices()[:ng]), ("grid",))
+        fn = shard_map(
+            lambda: local_spectrum_weights(grids, kf, info, "grid",
+                                           jitter=1e-3),
+            mesh=mesh, in_specs=(), out_specs=weights_pspec(info, "grid"),
+            check_vma=False,
+        )
+        got = jax.jit(fn)()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-13, err_msg=str(dims))

@@ -266,3 +266,121 @@ def test_mp_block_misaligned_raises():
     with pytest.raises(ValueError, match="per-shard row count"):
         mp_batch_solve(model, mp_shard_state(model.init_state(), mesh),
                        x, y, s, mesh)
+
+
+# ---------------------------------------------------------------------------
+# mp memory scalability (VERDICT round-2 item 5): gram mean solver +
+# sharded spectrum build
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("family,bs_kw", [
+    ("mean-field", {}), ("block", {"block_sizes": (5, 4)}),
+])
+def test_mp_gram_mean_solver_matches_single_device(family, bs_kw):
+    """mean_solver='gram': the exact Woodbury mean m = R (K+A)^{-1} b_m with
+    A accumulated over 'dp' and K applied grid-sharded — NO kn stack kept
+    (the memory profile for M' beyond the stacked-kn path), vs the
+    single-device gram solver (`models/hipgp.py` batch_solve)."""
+    x, y, s = _data()
+    ng = 4
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 11)] * 2, num_obs=len(x),
+                  family=family, ell_init=0.15, noise2_init=0.01,
+                  grid_shards=ng, dtype=jnp.float64, **bs_kw)
+    state = model.init_state()
+    ref, ref_elbo = model.batch_solve(
+        state, x, y, s, batch_size=100, maxiter_cg=50, compute_elbo=True,
+        mean_solver="gram", mean_solver_maxiter=300, mean_solver_tol=1e-12,
+    )
+    mesh = _mesh(2, ng)
+    got, got_elbo = mp_batch_solve(
+        model, mp_shard_state(state, mesh), x, y, s, mesh,
+        batch_size=100, maxiter_cg=50, mean_solver="gram",
+        mean_solver_maxiter=300, mean_solver_tol=1e-12, compute_elbo=True,
+    )
+    # theta1 = lam_I mhat: near-zero entries carry ~1e-3 abs noise from the
+    # ~1e4-conditioned K+A PCG under sharded reduction order
+    np.testing.assert_allclose(np.asarray(got.theta1), np.asarray(ref.theta1),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.theta2), np.asarray(ref.theta2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(got_elbo), float(ref_elbo), rtol=1e-6)
+
+
+def test_mp_gram_1d():
+    x, y, s = _data(N=200, dim=1)
+    ng = 4
+    grids = [jnp.linspace(0.0, 1.0, 40)]
+    model = HIPGP(SqExp(), grids, num_obs=len(x), family="mean-field",
+                  ell_init=0.08, noise2_init=0.01, grid_shards=ng,
+                  dtype=jnp.float64)
+    state = model.init_state()
+    ref = model.batch_solve(state, x, y, s, batch_size=64, maxiter_cg=60,
+                            mean_solver="gram", mean_solver_maxiter=300,
+                            mean_solver_tol=1e-12)
+    mesh = _mesh(2, ng)
+    got = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s, mesh,
+                         batch_size=64, maxiter_cg=60, mean_solver="gram",
+                         mean_solver_maxiter=300, mean_solver_tol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.theta1), np.asarray(ref.theta1),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_mp_sharded_spectrum_matches_host():
+    """spectrum_mode='sharded' (in-graph per-shard spectrum build, no device
+    materializes all M' eigenvalues) must reproduce the host-built spectrum
+    path through the full solve + predict."""
+    x, y, s = _data()
+    ng = 4
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 11)] * 2, num_obs=len(x),
+                  family="mean-field", ell_init=0.15, noise2_init=0.01,
+                  grid_shards=ng, dtype=jnp.float64)
+    state = model.init_state()
+    mesh = _mesh(2, ng)
+    kw = dict(batch_size=100, maxiter_cg=50, mean_solver_maxiter=300,
+              mean_solver_tol=1e-12, compute_elbo=True)
+    st_h, elbo_h = mp_batch_solve(model, mp_shard_state(state, mesh),
+                                  x, y, s, mesh, spectrum_mode="host", **kw)
+    st_s, elbo_s = mp_batch_solve(model, mp_shard_state(state, mesh),
+                                  x, y, s, mesh, spectrum_mode="sharded", **kw)
+    np.testing.assert_allclose(np.asarray(st_s.theta1),
+                               np.asarray(st_h.theta1), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_s.theta2),
+                               np.asarray(st_h.theta2), rtol=1e-7)
+    np.testing.assert_allclose(float(elbo_s), float(elbo_h), rtol=1e-7)
+
+    xq, _, _ = _data(N=64, seed=5)
+    mu_h, sig_h = mp_predict(model, st_h, xq, mesh, maxiter_cg=50,
+                             spectrum_mode="host")
+    mu_s, sig_s = mp_predict(model, st_h, xq, mesh, maxiter_cg=50,
+                             spectrum_mode="sharded")
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_h),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sig_s), np.asarray(sig_h),
+                               rtol=1e-7)
+
+
+def test_mp_gram_integrated_obs():
+    """gram mean solver with line-integral observations (the A accumulation
+    uses the analytic semi-integrated cross-covariance)."""
+    rng = np.random.default_rng(3)
+    N = 150
+    x = jnp.asarray(rng.uniform(0.1, 0.95, (N, 2)))
+    y = jnp.asarray(rng.standard_normal(N))
+    s = jnp.asarray(rng.uniform(0.1, 0.2, N))
+    grids = [jnp.linspace(0.0, 1.0, 9)] * 2
+    ng = 4
+    model = HIPGP(SqExp(), grids, num_obs=N, family="mean-field",
+                  ell_init=0.2, noise2_init=0.01, grid_shards=ng,
+                  support_integrated_obs=True, dtype=jnp.float64)
+    state = model.init_state()
+    ref = model.batch_solve(state, x, y, s, batch_size=50, maxiter_cg=50,
+                            integrated_obs=True, mean_solver="gram",
+                            mean_solver_maxiter=300, mean_solver_tol=1e-12)
+    mesh = _mesh(2, ng)
+    got = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s, mesh,
+                         batch_size=50, maxiter_cg=50, integrated_obs=True,
+                         mean_solver="gram", mean_solver_maxiter=300,
+                         mean_solver_tol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.theta1), np.asarray(ref.theta1),
+                               rtol=2e-4, atol=1e-5)

@@ -213,3 +213,29 @@ def test_mp_block_natgrad_trajectory_matches_single_device():
                                rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
                                rtol=1e-4, atol=5e-5)
+
+
+def test_mp_fit_sharded_spectrum_matches_host():
+    """spectrum_mode='sharded' through the TRAINING loop: the in-graph
+    per-shard spectrum build (`local_spectrum_weights`) is differentiable,
+    so hyperparameter learning works without any device materializing all
+    M' eigenvalues."""
+    x, y, s = _data()
+    ng = 4
+    model = _model(len(x), ng)
+    state = model.init_state()
+    cfg = FitConfig(epochs=2, batch_size=100, lr=0.01, maxiter_cg=30,
+                    learn_kernel=True, kernel_lr=1e-3)
+    mesh = _mesh(2, ng)
+    st_h, rep_h = mp_svigp_fit(model, state, x, y, s, cfg, mesh,
+                               verbose=False, theta2_warmstart=True)
+    st_s, rep_s = mp_svigp_fit(model, state, x, y, s, cfg, mesh,
+                               verbose=False, theta2_warmstart=True,
+                               spectrum_mode="sharded")
+    # host/sharded spectra agree to ~1e-15; the truncated-PCG whitening
+    # plus two natgrad epochs amplify that to ~1e-5 on the trajectory
+    np.testing.assert_allclose(rep_s["epoch_elbos"], rep_h["epoch_elbos"],
+                               rtol=1e-4)
+    assert _rel(st_s.theta1, st_h.theta1) < 1e-4
+    np.testing.assert_allclose(float(st_s.log_ell), float(st_h.log_ell),
+                               rtol=1e-6)
