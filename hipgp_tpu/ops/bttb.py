@@ -172,6 +172,13 @@ class BTTBSpectrum:
     eigs: jnp.ndarray
     dims: Tuple[int, ...] = struct.field(pytree_node=False)
     edims: Tuple[int, ...] = struct.field(pytree_node=False)
+    # full embedded (wrapped-lag padded) column, shape (*edims).  Lets the
+    # 1-D radix planes solver (ops/solve.py) build its stage-order spectrum
+    # slabs by a forward radix transform instead of materializing the
+    # natural-order weights and paying three 8 MB minor-dim transposes per
+    # jitted solve (measured ~4 ms at L = 2^21).  None on spectra built by
+    # older call sites; everything falls back to `permute_weights` then.
+    ecolumn: Optional[jnp.ndarray] = None
 
     @property
     def M(self) -> int:
@@ -246,7 +253,8 @@ def spectrum_from_column(
     # the non-redundant half is all we need for real input/output matvecs.
     eigs = _real_even_half_spectrum(emb)
     eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
-    return BTTBSpectrum(column=col, eigs=eigs, dims=dims, edims=edims)
+    return BTTBSpectrum(column=col, eigs=eigs, dims=dims, edims=edims,
+                        ecolumn=emb)
 
 
 def _cosine_matrix(L: int, dtype) -> jnp.ndarray:
@@ -340,7 +348,8 @@ def make_spectrum(
         eigs = _real_even_half_spectrum(emb)
     eigs = jnp.maximum(eigs, jnp.asarray(eig_floor, eigs.dtype))
     col_idx = tuple(slice(0, d) for d in dims)
-    return BTTBSpectrum(column=emb[col_idx], eigs=eigs, dims=dims, edims=edims)
+    return BTTBSpectrum(column=emb[col_idx], eigs=eigs, dims=dims,
+                        edims=edims, ecolumn=emb)
 
 
 def _fft_axes(ndim: int) -> Tuple[int, ...]:

@@ -39,10 +39,14 @@ Precision (measured at L = 2^21 vs the f64 oracle): all-HIGHEST 2.5e-7;
 the shipped policy (HIGH stage-1 einsums + HIGH-emulated kernel dots via
 bf16 hi/lo 3-pass splits, see `_make_dot`) 2.3e-5 — well under the f32
 truncated-PCG floor; DEFAULT ~5.8e-3 and *slower* (rejected, RESULTS §11).
-Measured in-graph at the headline shape (packed batch-4, L = 2^21):
-2.41 ms/apply = Pallas stage-1 fwd 0.65 + middle kernel 1.04 (VT=2) + stage-1 inv ~0.65,
-vs ~10 ms for the standalone XLA c64 FFT pair; the 20-iteration whitening
-solve runs 44.3 vs 59.0 ms against the XLA-FFT path at matched protocol.
+Measured chained at the headline shape (packed batch-4, L = 2^21):
+1.34 ms/apply = stage-1 fwd ~0.4 + middle v3 ~0.55 + stage-1 inv ~0.4,
+vs ~10 ms for the standalone XLA c64 FFT pair.  Stage-1 is MXU-throughput
+bound (9 bf16 passes per direction = 3 Karatsuba x 3-pass HIGH emulation);
+the middle is per-dot issue bound (see `_make_middle_kernel`).  The
+cropped-IO variants (`fused_circulant_apply_cropped`) drop the dead
+circulant-padding rows from the stage-1 I/O for the planes-state PCG in
+`ops/solve.py` (round-3 decomposition: RESULTS §10).
 
 Parity reference: behavioral twin of `ziggy/misc/toeplitz_tensor.py:70-125`
 (_matmul_by_K / _matmul_by_Cinv FFT applies), rebuilt as a TPU kernel.
@@ -58,7 +62,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["RadixPlan", "make_plan", "permute_weights", "fused_circulant_apply",
-           "radix_supported"]
+           "fused_circulant_apply_cropped", "radix_supported", "row_multiple"]
 
 _LANE = 128
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -190,65 +194,119 @@ def _make_dot(prec, dtype):
     return functools.partial(jnp.dot, precision=prec)
 
 
-def _cdot(ar, ai, asum, br, bi, dot):
-    """Karatsuba complex matmul (ar + i ai) @ (br + i bi), asum = ar + ai
-    precomputed: 3 real MXU dots instead of 4."""
-    t1 = dot(ar, br)
-    t2 = dot(ai, bi)
-    t3 = dot(asum, br + bi)
-    return t1 - t2, t3 - t1 - t2
-
-
-def _cdot_r(ar, ai, br, bi, bsum, dot):
-    """Right-multiply variant: (ar + i ai) @ (br + i bi), bsum = br + bi."""
-    t1 = dot(ar, br)
-    t2 = dot(ai, bi)
-    t3 = dot(ar + ai, bsum)
-    return t1 - t2, t3 - t1 - t2
-
-
 def _make_middle_kernel(prec, R, B, C, VT):
+    """v3 layout: stage-major over the whole resident (VT, R, B, C) slab.
+
+    vs the per-plane v2 chain (measured 1.49 -> 1.35 ms on the full packed
+    apply at L = 2^21): the bf16 hi/lo weight splits are hoisted out of all
+    loops, the T1 phase slab is computed once per grid step, each stage's
+    dots run consecutively (same weight matrices resident in the MXU), and
+    the minor-axis F3/I3 contractions collapse (R, B, C) -> (R*B, C) — a
+    free leading-dim merge — into ONE large right-dot instead of R small
+    ones (per-dot issue latency on (128,128)@(128,128) dominates v2; a
+    transposed-layout variant merging F2/I2 the same way measured SLOWER,
+    1.42 ms, because the minor-dim transposes cost more than the issues
+    they save)."""
+
     def _middle_kernel(theta_ref, t2c_ref, t2s_ref, wbc_ref, wbs_ref,
                        wbsum_ref, wcc_ref, wcs_ref, wcsum_ref, d_ref,
                        yr_ref, yi_ref, zr_ref, zi_ref):
         import jax.experimental.pallas as pl
 
         dt = theta_ref.dtype
-        dot = _make_dot(prec, dt)
+        f32_high = prec == HIGH and dt == jnp.float32
         a0 = pl.program_id(0).astype(dt) * R
-        th = theta_ref[...]
-        t2c = t2c_ref[...]
-        t2s = t2s_ref[...]
-        # per-ka loop: every operand is a natural 2-D (B, C) VMEM tile and
-        # every dot is (128,128)@(128,128) — zero in-kernel relayouts
-        # (the earlier (B,R,C)<->(B,R*C)<->(B*R,C) reshapes measured ~12%
-        # of kernel time as VPU shuffles).  VT batch rows share each step's
-        # phases and weights (VT=2 measured ~9% over VT=1; VT=4 exceeds
-        # VMEM at the headline shape).
-        for r in range(R):
-            ang = th * (a0 + r)                                        # T1 phase
-            c1 = jnp.cos(ang)
-            s1 = jnp.sin(ang)
-            dd = d_ref[r]
-            for v in range(VT):
-                yr = yr_ref[v, r]
-                yi = yi_ref[v, r]
-                yr, yi = _cmul(yr, yi, c1, s1)                         # T1
-                yr, yi = _cdot(wbc_ref[...], wbs_ref[...], wbsum_ref[...],
-                               yr, yi, dot)                            # F2 over b
-                yr, yi = _cmul(yr, yi, t2c, t2s)                       # T2
-                yr, yi = _cdot_r(yr, yi, wcc_ref[...], wcs_ref[...],
-                                 wcsum_ref[...], dot)                  # F3 over c
-                yr = yr * dd
-                yi = yi * dd                           # diagonal (1/L folded)
-                yr, yi = _cdot_r(yr, yi, wcc_ref[...], -wcs_ref[...],
-                                 wcc_ref[...] - wcs_ref[...], dot)     # I3
-                yr, yi = _cmul(yr, yi, t2c, -t2s)                      # conj T2
-                yr, yi = _cdot(wbc_ref[...], -wbs_ref[...],
-                               wbc_ref[...] - wbs_ref[...], yr, yi, dot)  # I2
-                zr, zi = _cmul(yr, yi, c1, -s1)                        # conj T1
-                zr_ref[v, r] = zr
-                zi_ref[v, r] = zi
+
+        # T1 phases for the whole R-slab, once per grid step
+        th = theta_ref[...]                                   # (B, C)
+        rr = a0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0).astype(dt)
+        ang = th[None] * rr                                   # (R, B, C)
+        c1 = jnp.cos(ang)
+        s1 = jnp.sin(ang)
+        t2c = t2c_ref[...][None]
+        t2s = t2s_ref[...][None]
+        dd = d_ref[...]                                       # (R, B, C)
+
+        if f32_high:
+            split = _bf16_split
+            neg = lambda p: (-p[0], -p[1])
+            f = lambda p, q: jnp.dot(p, q, preferred_element_type=jnp.float32)
+
+            def ldot(wp, x):
+                xh, xl = _bf16_split(x)
+                wh, wl = wp
+                return f(wh, xh) + f(wl, xh) + f(wh, xl)
+
+            def rdot(x, wp):
+                xh, xl = _bf16_split(x)
+                wh, wl = wp
+                return f(xh, wh) + f(xl, wh) + f(xh, wl)
+        else:
+            pr = HIGHEST if prec == HIGH else prec
+            split = lambda a: a
+            neg = lambda a: -a
+            ldot = lambda w, x: jnp.dot(w, x, precision=pr)
+            rdot = lambda x, w: jnp.dot(x, w, precision=pr)
+
+        # weight (splits) hoisted out of every loop; DFT matrices are
+        # symmetric so the same tables serve left and right dots
+        wbcp = split(wbc_ref[...])
+        wbsp = split(wbs_ref[...])
+        wbsump = split(wbsum_ref[...])
+        wccp = split(wcc_ref[...])
+        wcsp = split(wcs_ref[...])
+        wcsump = split(wcsum_ref[...])
+        wbs_m = neg(wbsp)
+        wcs_m = neg(wcsp)
+        wbdiff = split(wbc_ref[...] - wbs_ref[...])
+        wcdiff = split(wcc_ref[...] - wcs_ref[...])
+
+        def cdot_left(br, bi, wr, wi, wsum):
+            t1 = ldot(wr, br)
+            t2 = ldot(wi, bi)
+            t3 = ldot(wsum, br + bi)
+            return t1 - t2, t3 - t1 - t2
+
+        def cdot_right(ar, ai, wr, wi, wsum):
+            t1 = rdot(ar, wr)
+            t2 = rdot(ai, wi)
+            t3 = rdot(ar + ai, wsum)
+            return t1 - t2, t3 - t1 - t2
+
+        for v in range(VT):
+            yr = yr_ref[v]                                    # (R, B, C)
+            yi = yi_ref[v]
+            yr, yi = yr * c1 - yi * s1, yr * s1 + yi * c1     # T1
+            # F2 over b: per-plane left dots, weights resident
+            or_, oi_ = [], []
+            for r in range(R):
+                a, b = cdot_left(yr[r], yi[r], wbcp, wbsp, wbsump)
+                or_.append(a)
+                oi_.append(b)
+            yr = jnp.stack(or_)
+            yi = jnp.stack(oi_)
+            yr, yi = yr * t2c - yi * t2s, yr * t2s + yi * t2c  # T2
+            # F3 over c: ONE merged right dot on (R*B, C)
+            fr, fi = cdot_right(yr.reshape(R * B, C), yi.reshape(R * B, C),
+                                wccp, wcsp, wcsump)
+            yr = fr.reshape(R, B, C) * dd          # diagonal (1/L folded)
+            yi = fi.reshape(R, B, C) * dd
+            # I3: conj right dot, merged
+            fr, fi = cdot_right(yr.reshape(R * B, C), yi.reshape(R * B, C),
+                                wccp, wcs_m, wcdiff)
+            yr = fr.reshape(R, B, C)
+            yi = fi.reshape(R, B, C)
+            yr, yi = yr * t2c + yi * t2s, -yr * t2s + yi * t2c  # conj T2
+            # I2: conj left dots per plane
+            or_, oi_ = [], []
+            for r in range(R):
+                a, b = cdot_left(yr[r], yi[r], wbcp, wbs_m, wbdiff)
+                or_.append(a)
+                oi_.append(b)
+            yr = jnp.stack(or_)
+            yi = jnp.stack(oi_)
+            zr_ref[v] = yr * c1 + yi * s1                      # conj T1
+            zi_ref[v] = -yr * s1 + yi * c1
 
     return _middle_kernel
 
@@ -302,40 +360,52 @@ def _make_s1_kernel(prec):
 
 
 def _stage1_pallas(xr3, xi3, wc, ws, wsum, prec):
-    """Fused Karatsuba A-axis DFT: (V, A, BC) @ (A, A) with one HBM read of
-    (xr, xi) and one write of (yr, yi) — the einsum decomposition costs
-    ~2.5x the traffic (3 dots + combines each round-tripping HBM).
-    Measured 0.65 vs 0.99 ms per packed batch-4 direction at L = 2^21.
+    """Fused Karatsuba A-axis DFT: (V, Ain, BC) @ (Aout, Ain) tables with
+    one HBM read of (xr, xi) and one write of (yr, yi) — the einsum
+    decomposition costs ~2.5x the traffic (3 dots + combines each
+    round-tripping HBM).  Measured 0.65 vs 0.99 ms per packed batch-4
+    direction at L = 2^21.
 
-    For A > 512 the full (A, A) tables no longer fit scoped VMEM next to
-    the I/O blocks, so the output k-axis is blocked: grid gains a fastest
-    k dimension with (KB, A) table slices, and the x block's index map is
+    Tables may be RECTANGULAR: the cropped-IO applies slice the DFT matrix
+    to the rows that land inside the original M grid (fwd: (A, in_rows)
+    since the embedded tail rows are zero; inv: (out_rows, A) since the
+    cropped output discards the tail) — halving the dead half of the
+    stage-1 I/O traffic without any XLA-side pad/crop copies.
+
+    For A > 512 the full tables no longer fit scoped VMEM next to the I/O
+    blocks, so the output k-axis is blocked: grid gains a fastest k
+    dimension with (KB, Ain) table slices, and the x block's index map is
     k-independent, so Pallas keeps it resident across the k steps (no
     re-fetch traffic)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    V, A, BC = xr3.shape
-    # table budget ~6MB: 3 slices of (KB, A) f32 -> KB <= 512K/A, pow2
-    kb_max = max(128, 1 << (((6 * 1024 * 1024) // (12 * A)).bit_length() - 1))
-    KB = min(A, kb_max)
-    # VMEM budget: 3 (KB, A) f32 tables + 2 input blocks of (A, T) +
+    V, Ain, BC = xr3.shape
+    Aout = wc.shape[0]
+    # table budget ~6MB: 3 slices of (KB, Ain) f32 -> KB <= 512K/Ain, pow2
+    kb_max = max(128, 1 << (((6 * 1024 * 1024) // (12 * Ain)).bit_length() - 1))
+    KB = min(Aout, kb_max)
+    while Aout % KB:
+        KB //= 2
+    # VMEM budget: 3 (KB, Ain) f32 tables + 2 input blocks of (Ain, T) +
     # 2 output blocks of (KB, T), each double-buffered (~2 live instances)
     # must stay under the 16MB scoped limit; clamp T to the largest power
     # of two that fits (BC is a power of two, so divisibility is automatic)
-    budget = max(128, (10 * 1024 * 1024 - 3 * KB * A * 4) // ((A + KB) * 4 * 4))
+    budget = max(128, (10 * 1024 * 1024 - 3 * KB * Ain * 4)
+                 // ((Ain + KB) * 4 * 4))
     T = min(1024, BC, 1 << (budget.bit_length() - 1))
     while BC % T:
         T //= 2
-    sq = pl.BlockSpec((KB, A), lambda v, t, k: (k, 0), memory_space=pltpu.VMEM)
-    xtile = pl.BlockSpec((1, A, T), lambda v, t, k: (v, 0, t),
+    sq = pl.BlockSpec((KB, Ain), lambda v, t, k: (k, 0),
+                      memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((1, Ain, T), lambda v, t, k: (v, 0, t),
                          memory_space=pltpu.VMEM)
     ytile = pl.BlockSpec((1, KB, T), lambda v, t, k: (v, k, t),
                          memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((V, A, BC), xr3.dtype)
+    out = jax.ShapeDtypeStruct((V, Aout, BC), xr3.dtype)
     return pl.pallas_call(
         _make_s1_kernel(prec),
-        grid=(V, BC // T, A // KB),
+        grid=(V, BC // T, Aout // KB),
         in_specs=[sq, sq, sq, xtile, xtile],
         out_specs=[ytile, ytile],
         out_shape=[out, out],
@@ -346,56 +416,72 @@ def _use_s1_pallas(dtype):
     return dtype == jnp.float32 and jax.default_backend() == "tpu"
 
 
-def _stage1_fwd(xr, xi, plan: RadixPlan, prec):
-    """(V, L) -> (V, A, B, C): DFT over the a axis, output ka-major so the
-    middle kernel reads contiguous (B, C) planes.  Pallas-fused on TPU f32;
-    XLA einsum fallback elsewhere (CPU/f64 tests)."""
+def _stage1_fwd(xr, xi, plan: RadixPlan, prec, in_rows: Optional[int] = None):
+    """(V, in_rows*B*C) -> (V, A, B, C): DFT over the a axis, output
+    ka-major so the middle kernel reads contiguous (B, C) planes.
+
+    ``in_rows`` < A declares the remaining a-rows structurally ZERO (the
+    circulant embedding's padding region): the DFT tables are sliced to
+    (A, in_rows) columns, so the dead rows are neither read nor multiplied.
+    Pallas-fused on TPU f32; XLA einsum fallback elsewhere (CPU/f64)."""
     V = xr.shape[0]
     A, B, C = plan.A, plan.B, plan.C
+    rows = A if in_rows is None else in_rows
+    wc, ws, wsum = plan.wac, plan.was, plan.wasum
+    if rows != A:
+        wc, ws, wsum = wc[:, :rows], ws[:, :rows], wsum[:, :rows]
     if _use_s1_pallas(xr.dtype):
         yr, yi = _stage1_pallas(
-            xr.reshape(V, A, B * C), xi.reshape(V, A, B * C),
-            plan.wac, plan.was, plan.wasum, prec,
+            xr.reshape(V, rows, B * C), xi.reshape(V, rows, B * C),
+            wc, ws, wsum, prec,
         )
         return yr.reshape(V, A, B, C), yi.reshape(V, A, B, C)
     ein = functools.partial(jnp.einsum, precision=prec)
-    ar = xr.reshape(V, A, B, C)
-    ai = xi.reshape(V, A, B, C)
-    t1 = ein("ka,vabc->vkbc", plan.wac, ar)
-    t2 = ein("ka,vabc->vkbc", plan.was, ai)
-    t3 = ein("ka,vabc->vkbc", plan.wasum, ar + ai)
+    ar = xr.reshape(V, rows, B, C)
+    ai = xi.reshape(V, rows, B, C)
+    t1 = ein("ka,vabc->vkbc", wc, ar)
+    t2 = ein("ka,vabc->vkbc", ws, ai)
+    t3 = ein("ka,vabc->vkbc", wsum, ar + ai)
     return t1 - t2, t3 - t1 - t2
 
 
-def _stage1_inv(zr, zi, plan: RadixPlan, prec):
-    """(V, A, B, C) -> (V, L): conj DFT over the ka axis, natural order."""
+def _stage1_inv(zr, zi, plan: RadixPlan, prec, out_rows: Optional[int] = None):
+    """(V, A, B, C) -> (V, out_rows*B*C): conj DFT over the ka axis,
+    natural order.  ``out_rows`` < A computes only the a-rows that survive
+    the crop back to the original grid (tables sliced to (out_rows, A))."""
     V = zr.shape[0]
     A, B, C = plan.A, plan.B, plan.C
+    rows = A if out_rows is None else out_rows
+    wc = plan.wac if rows == A else plan.wac[:rows]
+    ws = -(plan.was if rows == A else plan.was[:rows])
     if _use_s1_pallas(zr.dtype):
         yr, yi = _stage1_pallas(
             zr.reshape(V, A, B * C), zi.reshape(V, A, B * C),
-            plan.wac, -plan.was, plan.wac - plan.was, prec,
+            wc, ws, wc + ws, prec,
         )
-        return yr.reshape(V, plan.L), yi.reshape(V, plan.L)
+        return yr.reshape(V, rows * B * C), yi.reshape(V, rows * B * C)
     ein = functools.partial(jnp.einsum, precision=prec)
-    wc, ws = plan.wac, -plan.was
-    t1 = ein("ka,vkbc->vabc", wc, zr)
-    t2 = ein("ka,vkbc->vabc", ws, zi)
-    t3 = ein("ka,vkbc->vabc", wc + ws, zr + zi)
-    return (t1 - t2).reshape(V, plan.L), (t3 - t1 - t2).reshape(V, plan.L)
+    # tables are (out_rows, A): contract over their SECOND axis (the DFT
+    # matrix is symmetric, so this matches the square case bit-for-bit)
+    t1 = ein("ak,vkbc->vabc", wc, zr)
+    t2 = ein("ak,vkbc->vabc", ws, zi)
+    t3 = ein("ak,vkbc->vabc", wc + ws, zr + zi)
+    out = rows * B * C
+    return (t1 - t2).reshape(V, out), (t3 - t1 - t2).reshape(V, out)
 
 
-def _apply_impl(xr, xi, d_perm, plan: RadixPlan, kprec, s1prec):
-    yr, yi = _stage1_fwd(xr, xi, plan, s1prec)
+def _apply_impl(xr, xi, d_perm, plan: RadixPlan, kprec, s1prec,
+                in_rows=None, out_rows=None):
+    yr, yi = _stage1_fwd(xr, xi, plan, s1prec, in_rows)
     zr, zi = _middle_pallas(yr, yi, d_perm, plan, kprec)
-    return _stage1_inv(zr, zi, plan, s1prec)
+    return _stage1_inv(zr, zi, plan, s1prec, out_rows)
 
 
-def _forward_stages(xr, xi, plan: RadixPlan, prec):
+def _forward_stages(xr, xi, plan: RadixPlan, prec, in_rows=None):
     """Forward transform only, pure XLA — used for the weights cotangent.
     Returns (V, A, B, C) planes AFTER T1/F2/T2/F3 (d_perm's layout)."""
     A, B, C = plan.A, plan.B, plan.C
-    yr, yi = _stage1_fwd(xr, xi, plan, prec)  # (V, A, B, C)
+    yr, yi = _stage1_fwd(xr, xi, plan, prec, in_rows)  # (V, A, B, C)
     ka = jnp.arange(A, dtype=yr.dtype).reshape(1, A, 1, 1)
     ang = plan.theta.reshape(1, 1, B, C) * ka
     yr, yi = _cmul(yr, yi, jnp.cos(ang), jnp.sin(ang))
@@ -408,30 +494,37 @@ def _forward_stages(xr, xi, plan: RadixPlan, prec):
     return rr, ri
 
 
-@functools.lru_cache(maxsize=32)
-def _get_apply(L: int, dtype_name: str, kprec, s1prec):
+@functools.lru_cache(maxsize=64)
+def _get_apply(L: int, dtype_name: str, kprec, s1prec,
+               in_rows=None, out_rows=None):
     """custom_vjp closure over a host-numpy plan, cached per (L, dtype,
-    precisions) — plan tables enter every jit trace as fresh constants, so
-    the closure is safe to reuse across traces."""
+    precisions, crop rows) — plan tables enter every jit trace as fresh
+    constants, so the closure is safe to reuse across traces."""
     plan = make_plan(L, dtype_name)
 
     @jax.custom_vjp
     def apply(xr, xi, d_perm):
-        return _apply_impl(xr, xi, d_perm, plan, kprec, s1prec)
+        return _apply_impl(xr, xi, d_perm, plan, kprec, s1prec,
+                           in_rows, out_rows)
 
     def fwd(xr, xi, d_perm):
-        return _apply_impl(xr, xi, d_perm, plan, kprec, s1prec), (xr, xi, d_perm)
+        y = _apply_impl(xr, xi, d_perm, plan, kprec, s1prec,
+                        in_rows, out_rows)
+        return y, (xr, xi, d_perm)
 
     def bwd(res, g):
         xr, xi, d_perm = res
         gr, gi = g
-        # x-cotangent: C_d is real symmetric, so pullback = the same apply.
-        xbr, xbi = _apply_impl(gr, gi, d_perm, plan, kprec, s1prec)
+        # x-cotangent: y = P_out C_d P_in^T x with C_d real symmetric and
+        # P_* row-selections, so the pullback is the apply with the crops
+        # swapped (the same apply when in_rows == out_rows).
+        xbr, xbi = _apply_impl(gr, gi, d_perm, plan, kprec, s1prec,
+                               in_rows=out_rows, out_rows=in_rows)
         # d-cotangent: in permuted coordinates y = conjF(d_perm . F x) with
         # no scale (1/L lives inside d_perm via permute_weights), so
         # dL/dd_perm = sum_v Re[(F x) . conj(F g)] in stage order.
-        fxr, fxi = _forward_stages(xr, xi, plan, s1prec)
-        fgr, fgi = _forward_stages(gr, gi, plan, s1prec)
+        fxr, fxi = _forward_stages(xr, xi, plan, s1prec, in_rows)
+        fgr, fgi = _forward_stages(gr, gi, plan, s1prec, out_rows)
         dbar = jnp.sum(fxr * fgr + fxi * fgi, axis=0)
         return xbr, xbi, dbar
 
@@ -455,3 +548,59 @@ def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGH,
     return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision, s1)(
         xr, xi, d_perm
     )
+
+
+def row_multiple(L: int) -> int:
+    """B*C for ``L``'s plan: the cropped applies' row granularity."""
+    A, B, C = _factorize(L)
+    return B * C
+
+
+def stage_order_weights(emb: jnp.ndarray, plan: RadixPlan,
+                        stage1_precision=None) -> jnp.ndarray:
+    """(L,) real embedded column -> its UNCLAMPED DFT in kernel stage order.
+
+    Output (A, B, C) with entry [a, b, c] = DFT(emb)[a + A*b + A*B*c] —
+    exactly :func:`permute_weights`' layout WITHOUT the folded 1/L scale,
+    computed by the radix forward stages themselves: the natural-order
+    spectrum is never materialized, so no 8 MB minor-dim transpose sits in
+    the jitted solve (measured ~4 ms for the three weight permutes at
+    L = 2^21).  The DFT of the real even column is real; the discarded
+    imaginary part is fp noise.
+
+    Defaults to HIGHEST precision (unlike the apply kernels): near-zero
+    eigenvalues are formed by cancellation, and the clamp + 1/w + sqrt(w)
+    consumers amplify the HIGH policy's ~2e-5 absolute noise into O(1)
+    relative weight errors on the clamped modes (measured 2.6e-2 whiten
+    disagreement vs the natural-FFT spectrum at HIGH, 1e-3-class at
+    HIGHEST); this is ONE (1, L) transform per solve, so the slower
+    precision is free."""
+    s1 = HIGHEST if stage1_precision is None else stage1_precision
+    fr, _ = _forward_stages(emb[None], jnp.zeros_like(emb)[None], plan, s1)
+    return fr[0]
+
+
+def fused_circulant_apply_cropped(
+    xr, xi, d_perm, plan: RadixPlan,
+    in_rows: int, out_rows: int,
+    precision=HIGH, stage1_precision=None,
+):
+    """Cropped-IO packed circulant apply: y = P_out C_d P_in^T x.
+
+    xr, xi: (V, in_rows * B * C) planes — the LEADING slab of the embedded
+    vector (the caller asserts everything beyond it is structurally zero,
+    i.e. the circulant padding region).  Returns (V, out_rows * B * C):
+    the leading slab of C_d applied to the embedded input, computed with
+    rectangular stage-1 DFT tables so the dead rows never touch HBM and no
+    XLA-side pad/crop copy exists.  This is the PCG-iteration apply for
+    ``ops.solve``'s planes-state whitening solver: with M | B*C the crop
+    boundary is row-aligned and in_rows = out_rows = M // (B*C); otherwise
+    the caller pads its state to the next row multiple and masks the tail
+    (see `solve._whiten_planes`).
+
+    Differentiable like :func:`fused_circulant_apply` (the x-pullback swaps
+    the crops; C_d is symmetric).
+    """
+    s1 = STAGE1_PRECISION if stage1_precision is None else stage1_precision
+    return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision, s1,
+                      in_rows, out_rows)(xr, xi, d_perm)

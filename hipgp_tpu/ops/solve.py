@@ -27,6 +27,105 @@ from jax import lax
 from .bttb import BTTBSpectrum, matmul_by_Cinv, matmul_by_K, matmul_by_RT
 from .cg import pcg, pcg_scan
 
+
+def _planes_solver_ok(spec: BTTBSpectrum, dtype) -> bool:
+    """True when the packed planes-state PCG path applies: 1-D radix-
+    supported grid, f32, on the TPU backend, with a crop boundary coarse
+    enough for the rectangular stage-1 tables (>= 8 rows)."""
+    from . import bttb
+
+    if len(spec.dims) != 1 or dtype != jnp.float32:
+        return False
+    if not bttb.USE_RADIX_FFT or jax.default_backend() != "tpu":
+        return False
+    from .radix_fft import radix_supported, row_multiple
+
+    L = spec.edims[0]
+    if not radix_supported(L):
+        return False
+    return -(-spec.M // row_multiple(L)) >= 8
+
+
+def _planes_weights(spec: BTTBSpectrum, plan):
+    """Stage-order clamped circulant spectrum for the planes path, WITHOUT
+    the 1/L fold: from the stored embedded column via a radix forward
+    transform when available (no natural-order materialization, no 8 MB
+    runtime transposes), else by permuting the natural full weights.  The
+    clamp floor is recovered as min(spec.eigs): identical to the build-time
+    clamp whenever any eigenvalue was actually clamped, a no-op otherwise."""
+    from .radix_fft import permute_weights, stage_order_weights
+    from .bttb import _full_weights
+
+    L = spec.edims[0]
+    if spec.ecolumn is not None:
+        w = stage_order_weights(spec.ecolumn, plan)
+        return jnp.maximum(w, jnp.min(spec.eigs))
+    return permute_weights(_full_weights(spec.eigs, L), plan) * L
+
+
+def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
+                   fixed_iters: bool):
+    """PCG solver over PACKED complex planes for the 1-D radix path.
+
+    The standard path stores PCG state as (B, M) real rows and, per
+    circulant apply, pays an XLA pad -> strided deinterleave -> kernel ->
+    interleave -> crop round trip (~0.8 ms of the measured 2.36 ms/apply
+    at the L = 2^21 headline).  Here the state lives as (2, V, Mp) planes
+    (row 2v -> real part, 2v+1 -> imag part of plane v; Mp = M padded to
+    the plan's B*C row multiple), the kernels run with CROPPED rectangular
+    stage-1 tables (`fused_circulant_apply_cropped` — the embedded padding
+    region is never materialized), and the only glue left is one
+    deinterleave at entry and one interleave at exit per SOLVE rather than
+    per apply.  Returned solutions match the standard path to f32
+    reduction order.  Used as the `lax.custom_linear_solve` solver, so
+    gradients never trace it: they flow through the differentiable
+    `matmul_by_K` instead.
+    """
+    from .radix_fft import (fused_circulant_apply_cropped, make_plan,
+                            row_multiple)
+
+    M, L = spec.M, spec.edims[0]
+    BC = row_multiple(L)
+    rows = -(-M // BC)
+    Mp = rows * BC
+
+    def solver(_matvec, b):
+        dtype = b.dtype
+        plan = make_plan(L, dtype)
+        w = _planes_weights(spec, plan)
+        dK = w / L
+        dC = 1.0 / (w * L)
+
+        batch = b.shape[:-1]
+        flat = b.reshape(-1, M)
+        nb = flat.shape[0]
+        if nb % 2:
+            flat = jnp.pad(flat, ((0, 1), (0, 0)))
+        if Mp != M:
+            flat = jnp.pad(flat, ((0, 0), (0, Mp - M)))
+            mask = (jnp.arange(Mp) < M).astype(dtype)
+        else:
+            mask = None
+        s0 = jnp.stack([flat[0::2], flat[1::2]])  # (2, V, Mp)
+
+        def crop_apply(s, d_perm):
+            yr, yi = fused_circulant_apply_cropped(
+                s[0], s[1], d_perm, plan, rows, rows
+            )
+            y = jnp.stack([yr, yi])
+            return y * mask if mask is not None else y
+
+        mv = lambda s: crop_apply(s, dK)
+        pc = lambda s: crop_apply(s, dC)
+        if fixed_iters:
+            x = pcg_scan(mv, s0, precond=pc, num_iters=maxiter)
+        else:
+            x = pcg(mv, s0, precond=pc, maxiter=maxiter, tol=tol)
+        out = jnp.stack([x[0], x[1]], axis=1).reshape(-1, Mp)[:nb, :M]
+        return out.reshape(batch + (M,))
+
+    return solver
+
 __all__ = ["inv_matmul", "whiten", "gram_solve", "cholesky_whiten",
            "spd_solve", "spd_inverse"]
 
@@ -76,11 +175,17 @@ def inv_matmul(
     reference protocols).
     """
 
-    def solver(matvec, b):
-        precond = (lambda v: matmul_by_Cinv(spec, v)) if do_precond else None
-        if fixed_iters:
-            return pcg_scan(matvec, b, precond=precond, num_iters=maxiter)
-        return pcg(matvec, b, precond=precond, maxiter=maxiter, tol=tol)
+    if do_precond and _planes_solver_ok(spec, rhs.dtype):
+        solver = _planes_solver(spec, maxiter, tol, fixed_iters)
+    else:
+
+        def solver(matvec, b):
+            precond = ((lambda v: matmul_by_Cinv(spec, v))
+                       if do_precond else None)
+            if fixed_iters:
+                return pcg_scan(matvec, b, precond=precond,
+                                num_iters=maxiter)
+            return pcg(matvec, b, precond=precond, maxiter=maxiter, tol=tol)
 
     # symmetric=True: K is SPD, so the transpose solve reuses the same PCG.
     # custom_linear_solve differentiates implicitly: dx = K^{-1}(db - dK x),
@@ -108,7 +213,39 @@ def whiten(
         do_precond=do_precond,
         fixed_iters=fixed_iters,
     )
+    if _planes_solver_ok(spec, d.dtype):
+        return _rt_planes(spec, d)
     return matmul_by_RT(spec, d)
+
+
+def _rt_planes(spec: BTTBSpectrum, d: jnp.ndarray) -> jnp.ndarray:
+    """R^T @ d through the cropped planes apply: (..., M) -> (..., M').
+
+    Same operator as `matmul_by_RT` (sqrt-weights circulant apply with full
+    expanded output), minus the per-call pad/deinterleave/crop glue — one
+    plane split in, one interleave out.  Differentiable (the cropped apply
+    carries its own VJP)."""
+    from .radix_fft import fused_circulant_apply_cropped, make_plan, row_multiple
+
+    M, L = spec.M, spec.edims[0]
+    rows = -(-M // row_multiple(L))
+    Mp = rows * row_multiple(L)
+    plan = make_plan(L, d.dtype)
+    w = _planes_weights(spec, plan)
+    dRT = jnp.sqrt(w) / L
+
+    batch = d.shape[:-1]
+    flat = d.reshape(-1, M)
+    nb = flat.shape[0]
+    if nb % 2:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    if Mp != M:
+        flat = jnp.pad(flat, ((0, 0), (0, Mp - M)))
+    yr, yi = fused_circulant_apply_cropped(
+        flat[0::2], flat[1::2], dRT, plan, rows, plan.A
+    )
+    out = jnp.stack([yr, yi], axis=1).reshape(-1, L)[:nb]
+    return out.reshape(batch + (spec.Mprime,))
 
 
 # gram_solve is the benchmark-facing alias: K^{-1/2} v in the expanded basis.
