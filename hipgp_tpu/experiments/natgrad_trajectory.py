@@ -190,8 +190,13 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
         rows.append(row)
         print(tag, rows[-1], flush=True)
 
-    svigp_fit(model, state, x, y, s, cfg, epoch_callback=cb, verbose=False,
-              theta2_warmstart=args.warmstart)
+    _, rep = svigp_fit(model, state, x, y, s, cfg, epoch_callback=cb,
+                       verbose=False, theta2_warmstart=args.warmstart,
+                       natgrad_safe_lr=getattr(args, "safe_lr", "warn"))
+    if rep.get("natgrad_rho") is not None:
+        print(f"{tag} natgrad rho={rep['natgrad_rho']:.1f} "
+              f"lr_crit={rep['natgrad_lr_crit']:.3g} "
+              f"lr_used={rep['lr_used']:.3g}", flush=True)
     return rows
 
 
@@ -455,6 +460,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--warmstart", action="store_true",
                    help="theta2 warm start (jax modes; beyond-reference)")
+    p.add_argument("--safe-lr", default="warn",
+                   choices=["warn", "clamp", "off"],
+                   help="natgrad stability policy (infer.svigp_fit "
+                        "natgrad_safe_lr; needs --warmstart)")
     p.add_argument("--paper", action="store_true",
                    help="N=20k, M=125^2 on the default jax backend (TPU)")
     p.add_argument("--output-dir", default="results/natgrad-trajectory")

@@ -22,7 +22,8 @@ import optax
 
 __all__ = ["FitConfig", "svigp_fit", "ell_fit", "batch_predict",
            "predictive_variance_correction", "make_train_step",
-           "prepare_batches", "prefer_eager_batch_solve"]
+           "prepare_batches", "prefer_eager_batch_solve",
+           "natgrad_stability_rho"]
 
 
 def prefer_eager_batch_solve(mean_solver: str) -> bool:
@@ -70,6 +71,9 @@ class FitConfig:
     only_eval_last_epoch: bool = False
     shuffle: bool = False  # reference uses shuffle=False
     seed: int = 0
+    # Fail loudly when an epoch's mean ELBO goes NaN/Inf instead of grinding
+    # out non-finite epochs to the end (the reference's behavior).
+    error_on_nonfinite: bool = True
 
 
 def prepare_batches(x, y, noise_std, batch_size):
@@ -119,6 +123,68 @@ def make_optimizer(state, config: FitConfig):
         {"theta": theta_opt, "hyper": hyper_opt}, _label_pytree(state)
     )
     return opt
+
+
+def natgrad_stability_rho(kn, ivar, theta2, bscale, iters: int = 30):
+    """Top eigenvalue rho of the warm-metric-preconditioned batch precision
+    for the MEAN-FIELD natural-gradient iteration, by power iteration.
+
+    The linearized theta1 natgrad recursion is ``eta1 <- (I - lr * B S) eta1
+    + const`` with ``B = bscale * kn^T diag(ivar) kn + I`` (one batch's
+    implied precision) and ``S = diag(-2 theta2)^{-1}`` (the current
+    variational metric — after ``theta2_warmstart`` this is the full-data
+    DIAGONAL precision).  Stability requires ``lr < 2 / rho`` with
+    ``rho = lambda_max(B S)``.  Mean-field keeps only the diagonal of the
+    curvature, so under strong correlation (lengthscale spanning many grid
+    spacings) the collective top eigenvalue of B exceeds its diagonal by
+    orders of magnitude and rho >> 1: the documented ell=0.2, M=125^2
+    divergence (RESULTS sec. 12) is exactly this — measured rho = 715 gives
+    lr_crit = 2.8e-3, bracketing the observed stable/divergent lrs (2e-3 /
+    1e-2) — NOT an f32 or eigenvalue-clamp effect (the clamp never engages
+    there: min circulant eig = jitter at both precisions).
+
+    Power-iterates the symmetric similar matrix ``D^{-1/2} B D^{-1/2}``
+    (D = -2 theta2).  Cost: ``2 * iters`` (bsz, M') matvecs — negligible
+    next to the theta2_warmstart sweep that precedes it.
+    """
+    lam_bar = -2.0 * theta2
+    sinv = 1.0 / jnp.sqrt(lam_bar)
+
+    @jax.jit
+    def run(kn, ivar, sinv, lam_bar):
+        def mv(z):
+            u = sinv * z
+            return sinv * (bscale * (kn.T @ (ivar * (kn @ u)))) + z / lam_bar
+
+        def body(_, carry):
+            z, _ = carry
+            q = mv(z)
+            rho = jnp.vdot(z, q)
+            return q / jnp.linalg.norm(q), rho
+
+        z0 = jnp.sin(jnp.arange(kn.shape[-1], dtype=kn.dtype) * 0.73) + 0.1
+        z0 = z0 / jnp.linalg.norm(z0)
+        _, rho = jax.lax.fori_loop(0, iters, body, (z0, jnp.zeros((), kn.dtype)))
+        return rho
+
+    return float(run(kn, ivar, sinv, lam_bar))
+
+
+def _batch_kn_ivar(model, state, xl, sl, wl, config, kn_fn=None):
+    """(kn, ivar) for one prepared batch — the warmstart sweep's kn path."""
+    if kn_fn is not None:
+        kn, _ = kn_fn(state, xl, None)
+    else:
+        spec = model.spectrum(state) if model.whitened_type == "ziggy" else None
+        Knm, _ = model.make_grams(
+            state, xl, config.integrated_obs,
+            config.semi_integrated_estimator, config.num_semi_mc_samples,
+        )
+        kn = model.compute_kn(state, Knm, maxiter_cg=config.maxiter_cg,
+                              spec=spec)
+    ivar = (wl / (sl * sl) if sl is not None
+            else wl * jnp.exp(-state.log_noise2))
+    return kn, ivar
 
 
 def make_train_step(model, config: FitConfig, opt, kn_fn=None):
@@ -193,6 +259,7 @@ def svigp_fit(
     checkpoint_every: int = 0,
     resume: bool = False,
     theta2_warmstart: bool = False,
+    natgrad_safe_lr: str = "warn",
     kn_fn=None,
     data_shard_fn: Optional[Callable] = None,
 ):
@@ -203,6 +270,19 @@ def svigp_fit(
     placement function applied to the prepared (xb, yb, sb, w) batch arrays
     (e.g. committing the row axis to a 'dp' mesh axis so each device feeds
     only its shard).
+
+    ``natgrad_safe_lr``: 'warn' (default) | 'clamp' | 'off'.  With
+    ``theta2_warmstart`` on a mean-field natgrad fit, the warm metric
+    enables a cheap power-iteration estimate of the step-size stability
+    limit ``lr_crit = 2/rho`` (see :func:`natgrad_stability_rho`): under
+    strong correlation the mean-field diagonal metric underestimates the
+    collective curvature and the natural-gradient recursion diverges
+    geometrically for lr above it (the reference has the same instability
+    and no guard).  'warn' raises a ``UserWarning`` when ``config.lr``
+    exceeds ``0.5 * lr_crit``; 'clamp' lowers the natural-parameter lr to
+    that value instead (hyper lr untouched).  The estimate, limit, and lr
+    actually used are recorded in the report (``natgrad_rho``,
+    ``natgrad_lr_crit``, ``lr_used``).
 
     Returns (state, report) where report carries the per-batch ELBO trace,
     hyperparameter traces, and per-epoch wall-clock (the reference's
@@ -232,7 +312,6 @@ def svigp_fit(
         xb, yb, sb, w = data_shard_fn(xb, yb, sb, w)
 
     opt = make_optimizer(state, config)
-    epoch_step = make_train_step(model, config, opt, kn_fn=kn_fn)
     key = jax.random.PRNGKey(config.seed)
 
     start_epoch = 0
@@ -260,8 +339,55 @@ def svigp_fit(
         # resume: the restored theta2 would immediately overwrite it.
         state = _theta2_warmstart(model, state, xb, yb, sb, w, config,
                                   kn_fn=kn_fn)
+        warmstarted = True
+    else:
+        warmstarted = False
+
+    natgrad_rho = natgrad_lr_crit = None
+    lr_used = config.lr
+    if (
+        natgrad_safe_lr != "off"
+        and warmstarted
+        and config.fit_method == "natgrad"
+        and getattr(model, "family", None) == "mean-field"
+    ):
+        if natgrad_safe_lr not in ("warn", "clamp"):
+            raise ValueError(f"natgrad_safe_lr={natgrad_safe_lr!r}: "
+                             "expected 'warn', 'clamp', or 'off'")
+        kn0, ivar0 = _batch_kn_ivar(
+            model, state, xb[0], None if sb is None else sb[0], w[0],
+            config, kn_fn=kn_fn,
+        )
+        bscale = model.N / xb.shape[1]
+        natgrad_rho = natgrad_stability_rho(kn0, ivar0, state.theta2, bscale)
+        natgrad_lr_crit = 2.0 / natgrad_rho
+        if config.lr > 0.5 * natgrad_lr_crit:
+            msg = (
+                f"natgrad lr={config.lr:g} exceeds half the estimated "
+                f"mean-field stability limit lr_crit=2/rho={natgrad_lr_crit:.3g} "
+                f"(rho={natgrad_rho:.1f}): the mean-field metric "
+                "underestimates the collective curvature at this "
+                "lengthscale/grid and the natural-gradient iteration "
+                "diverges geometrically above lr_crit (RESULTS sec. 12)."
+            )
+            if natgrad_safe_lr == "clamp":
+                lr_used = 0.5 * natgrad_lr_crit
+                config = dataclasses.replace(config, lr=lr_used)
+                opt = make_optimizer(state, config)
+                if verbose:
+                    print(f"natgrad_safe_lr: clamping lr to {lr_used:.3g} — "
+                          + msg)
+            else:
+                import warnings
+
+                warnings.warn(
+                    msg + " Pass natgrad_safe_lr='clamp' to lower it "
+                    "automatically, or reduce config.lr.",
+                    UserWarning, stacklevel=2,
+                )
     if not restored:
         opt_state = opt.init(state)
+    epoch_step = make_train_step(model, config, opt, kn_fn=kn_fn)
 
     # pre-shuffle support: one permutation per epoch over the raw rows
     # (the reference's DataLoader shuffle; its experiments use shuffle=False)
@@ -294,6 +420,21 @@ def svigp_fit(
         elbos_np = np.asarray(elbos)
         trace.extend(elbos_np.tolist())
         epoch_elbos.append(float(elbos_np.mean()))
+        if config.error_on_nonfinite and not np.isfinite(epoch_elbos[-1]):
+            hint = (
+                f" (estimated stability limit lr_crit={natgrad_lr_crit:.3g}, "
+                f"lr used={lr_used:g})" if natgrad_lr_crit is not None else ""
+            )
+            raise RuntimeError(
+                f"epoch {epoch} mean ELBO is non-finite "
+                f"({epoch_elbos[-1]}){hint}. For natgrad fits this usually "
+                "means the lr is above the mean-field natural-gradient "
+                "stability limit at this lengthscale/grid — rerun with "
+                "theta2_warmstart=True and natgrad_safe_lr='clamp', lower "
+                "config.lr, or use the closed-form batch_solve (RESULTS "
+                "sec. 12). Set config.error_on_nonfinite=False to grind on "
+                "(the reference's behavior)."
+            )
         if config.learn_kernel:
             sig2_trace.append(float(jnp.exp(state.log_sig2)))
             ell_trace.append(float(jnp.exp(jnp.atleast_1d(state.log_ell))[0]))
@@ -323,6 +464,9 @@ def svigp_fit(
         "sig2_trace": sig2_trace,
         "ell_trace": ell_trace,
         "noise2_trace": noise2_trace,
+        "natgrad_rho": natgrad_rho,
+        "natgrad_lr_crit": natgrad_lr_crit,
+        "lr_used": lr_used,
     }
     return state, report
 
