@@ -48,6 +48,18 @@ def _rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a).reshape(-1) - np.asarray(b).reshape(-1)) ** 2)))
 
 
+_COV_SIGS = (0.5, 1.0, 2.0, 3.0)
+
+
+def _coverage_cols(mu, sig, ftruth):
+    """{cov0.5, cov1, cov2, cov3}: fraction of test points with
+    |f_true - mu| < s * sig — the reference's zscore_to_coverage_vec
+    (`ziggy/misc/experiment_util.py:696-737`), recorded per epoch."""
+    z = (np.asarray(ftruth).reshape(-1) - np.asarray(mu).reshape(-1)) \
+        / np.asarray(sig).reshape(-1)
+    return {f"cov{s:g}": float(np.mean(np.abs(z) < s)) for s in _COV_SIGS}
+
+
 def run_ref(data, args):
     """Live reference natgrad: mirrors `ziggy/svi_gp.py:282-388` exactly
     (SGD on theta, per-batch StepLR, shuffle=False, cold init)."""
@@ -110,11 +122,13 @@ def run_ref(data, args):
                 sched.step()
             elbos.append(float(lval))
         with torch.no_grad():
-            mu, _ = mod.predict(xt, maxiter_cg=args.predict_maxiter_cg)
+            mu, sig = mod.predict(xt, maxiter_cg=args.predict_maxiter_cg)
         row = {
             "epoch": epoch, "elbo": float(np.mean(elbos)),
             "rmse": _rmse(mu.squeeze(-1).numpy(), data["ftest"]),
             "secs": time.time() - t0,
+            **_coverage_cols(mu.squeeze(-1).numpy(), sig.squeeze(-1).numpy(),
+                             data["ftest"]),
         }
         if args.learn_kernel:
             row["sig2"] = float(torch.exp(mod.log_sig2))
@@ -172,7 +186,7 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
 
     def cb(epoch, model_, state_, trace):
         t0 = time.time()
-        mu, _ = batch_predict(
+        mu, sig = batch_predict(
             model_, state_, xt, maxiter_cg=args.predict_maxiter_cg
         )
         nb = -(-args.nobs // args.batch_size)
@@ -181,6 +195,7 @@ def run_jax(data, args, whitened_type="ziggy", tag="jax"):
             "elbo": float(np.mean(trace[-nb:])),
             "rmse": _rmse(mu, data["ftest"]),
             "secs": time.time() - t0,
+            **_coverage_cols(mu, sig, data["ftest"]),
         }
         if args.learn_kernel:
             import jax.numpy as _jnp
@@ -364,12 +379,13 @@ def run_solve(data, args):
         batch_size=5000, maxiter_cg=args.maxiter_cg,
         mean_solver="gram" if args.paper else "dense",
     )
-    mu, _ = batch_predict(
+    mu, sig = batch_predict(
         model, new, jnp.asarray(data["xtest"], dt), batch_size=1000,
         maxiter_cg=args.predict_maxiter_cg,
     )
     row = {"epoch": -1, "elbo": float("nan"),
-           "rmse": _rmse(mu, data["ftest"]), "secs": time.time() - t0}
+           "rmse": _rmse(mu, data["ftest"]), "secs": time.time() - t0,
+           **_coverage_cols(mu, sig, data["ftest"])}
     print("solve", row, flush=True)
     return [row]
 
@@ -422,6 +438,12 @@ def _compare_one(args, out, refname, tags):
             "final_elbo": (ref[n - 1]["elbo"], got[n - 1]["elbo"]),
             "final_rmse": (ref[n - 1]["rmse"], got[n - 1]["rmse"]),
         }
+        if "cov1" in ref[0] and "cov1" in got[0]:
+            for s in _COV_SIGS:
+                c = f"cov{s:g}"
+                out[tag][f"max_abs_{c}_dev"] = max(
+                    abs(ref[i][c] - got[i][c]) for i in range(n))
+                out[tag][f"final_{c}"] = (ref[n - 1][c], got[n - 1][c])
         if "ell" in ref[0] and "ell" in got[0]:
             out[tag]["max_abs_ell_dev"] = max(
                 abs(ref[i]["ell"] - got[i]["ell"]) for i in range(n))
