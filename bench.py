@@ -16,14 +16,19 @@ Prints ONE JSON line.  Fields beyond the driver contract
 * ``roofline_frac`` — minimum-HBM-traffic model / measured time.  The solve
   runs 2*maxiter+2 circulant applies; each apply's floor is one read+write
   of the packed complex buffer per FFT direction plus the real in/out.
-* ``radix_bound_ms`` — applies x the measured chained packed fused-apply
-  (the Pallas radix kernel's own steady-state floor) plus the measured
-  PCG-skeleton time (same loop with the applies replaced by identity).
-  This is the bound achievable by perfect orchestration of OUR kernels;
-  ``at_radix_bound`` means the solve carries no glue beyond them.  (The
-  round-2 comparator measured against the standalone XLA FFT pair — 42x
-  slower than the radix kernels that replaced it — and had become
-  trivially true.)
+* ``radix_bound_ms`` — applies x the measured BARRIER-FREE chained
+  cropped self-dot apply (the actual PCG-iteration kernel: rectangular
+  stage-1 tables, CG inner products emitted as stage-1-inverse partials)
+  plus the MODELED HBM floor of the CG state updates (9 vector I/Os per
+  iteration; an isolated axpy skeleton is unmeasurable — XLA fuses a pure
+  elementwise scan into one pass).  The bound assumes all of CG's scalar
+  sync overlaps perfectly, so solve-vs-bound is exactly the residual
+  dependency cost.  ``at_radix_bound`` means the solve carries no glue
+  beyond our kernels + unavoidable state traffic.  (The round-2
+  comparator measured against the standalone XLA FFT pair — 42x slower
+  than the radix kernels that replaced it — and had become trivially
+  true; the first round-3 comparator used the FULL uncropped apply and a
+  dots-included skeleton, hiding ~9 ms of real headroom.)
 * ``fft_pair_ms`` — the standalone XLA fwd+scale+inv c64 FFT pair at the
   same shape, kept as the what-XLA-would-give reference point.
 * ``guards`` — on-chip numerics regression checks (f32 device vs f64 numpy
@@ -209,33 +214,42 @@ def main():
 
     pair_s, _ = chain_time(fft_pair, zr, reps=5)
 
-    # our-kernel floor: chained packed fused apply + measured PCG skeleton
-    from hipgp_tpu.ops.cg import pcg_scan
-    from hipgp_tpu.ops.radix_fft import (fused_circulant_apply, make_plan,
-                                         permute_weights)
+    # our-kernel floor: chained cropped self-dot applies (the actual PCG
+    # apply: the CG inner products ride the stage-1 inverse kernel) + the
+    # axpy-only skeleton (the dots no longer exist outside the kernels)
+    from hipgp_tpu.ops.radix_fft import (
+        fused_circulant_apply_cropped_selfdot, make_plan, permute_weights,
+        row_multiple)
 
     plan = make_plan(L, dtype)
     dperm = permute_weights(w, plan)
-    xr0 = jnp.asarray(rng.standard_normal((B // 2, L)), dtype)
+    rows = M // row_multiple(L)
+    assert rows * row_multiple(L) == M
+    xr0 = jnp.asarray(rng.standard_normal((B // 2, M)), dtype)
 
+    # Both floor components run BARRIER-FREE (no scalar gates between
+    # iterations): the bound assumes perfect overlap of all sync, so the
+    # solve-vs-bound gap is exactly the cost of CG's scalar dependencies.
     @jax.jit
     def apply_chain(x):
         def body(c, _):
-            return fused_circulant_apply(c, c, dperm, plan)[0], None
-        y, _ = jax.lax.scan(body, x, None, length=MAXITER)
+            yr, yi, _dr, _di = fused_circulant_apply_cropped_selfdot(
+                c[0], c[1], dperm, plan, rows, rows)
+            return jnp.stack([yr, yi]), None
+        y, _ = jax.lax.scan(body, jnp.stack([x, x]), None, length=MAXITER)
         return y
 
     chain_s, _ = chain_time(apply_chain, xr0, reps=5)
     apply_ms = chain_s / MAXITER * 1e3
 
-    s8 = jnp.asarray(rng.standard_normal((2, B // 2, M)), dtype)
-
-    @jax.jit
-    def skeleton(b):
-        return pcg_scan(lambda v: v, b, precond=lambda v: v,
-                        num_iters=MAXITER)
-
-    skel_s, _ = chain_time(skeleton, s8, reps=5)
+    # CG state-update floor is MODELED, not measured: an isolated axpy
+    # skeleton is meaningless (XLA fuses a pure-elementwise scan into a
+    # single pass — measured 0.08 ms for what costs ~7 ms inside the real
+    # loop, where the applies break fusion between the updates).  Per
+    # iteration the updates x += a p, r -= a Ap, p = z + b p move nine
+    # state-vector I/Os (6 reads + 3 writes) of (2, B/2, M) f32.
+    vec_bytes = 2 * (B // 2) * M * 4
+    skel_s = MAXITER * 9 * vec_bytes / HBM_BYTES_PER_S
     radix_bound_ms = applies * apply_ms + skel_s * 1e3
 
     # --- measured Cholesky baseline at the same M (no extrapolation) -----

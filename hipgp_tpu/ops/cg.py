@@ -121,8 +121,39 @@ def pcg_scan(
     x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fixed-iteration CG: a static computation graph (no data-dependent trip
-    count), preferred inside larger jitted programs and for benchmarking."""
-    x, _ = pcg_trace(matvec, b, precond, num_iters, metric_fn=None, x0=x0)
+    count), preferred inside larger jitted programs and for benchmarking.
+
+    Unlike :func:`pcg_trace` this carries NO per-iteration residual norm:
+    the extra ||r|| reduction per step is pure overhead when the trace is
+    discarded (~32 MB/iter of HBM reads at the M=2^20 headline)."""
+    if precond is None:
+        precond = lambda r: r
+
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - matvec(x0)
+    z = precond(r)
+    p = z
+    rz = _dot(r, z)
+
+    def step(carry, _):
+        x, r, z, p, rz = carry
+        Ap = matvec(p)
+        pAp = _dot(p, Ap)
+        safe = jnp.abs(pAp) > 0
+        alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * Ap
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[..., None] * p
+        return (x, r, z, p, rz_new), None
+
+    (x, *_), _ = lax.scan(step, (x, r, z, p, rz), None, length=num_iters)
     return x
 
 

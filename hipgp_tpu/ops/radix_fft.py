@@ -311,6 +311,152 @@ def _make_middle_kernel(prec, R, B, C, VT):
     return _middle_kernel
 
 
+def _make_middle_kernel_dual(prec, R, B, C, VT):
+    """Two-diagonal middle: ONE forward chain (T1, F2, T2, F3), then the
+    diagonal multiply + inverse chain (I3, conj T2, I2, conj T1) runs TWICE
+    — once per diagonal — on the resident forward slab.
+
+    This is the transform core of the Eisenstat PCG step in `ops/solve`:
+    z = C^{-1} r and Az = K C^{-1} r share the forward transform of r
+    (both operators are diagonal in the same basis), so per CG iteration
+    the middle does 3 half-chains instead of 4 and stage-1 forward runs
+    once instead of twice.  Identical per-plane math to
+    `_make_middle_kernel` otherwise."""
+
+    def _kernel(theta_ref, t2c_ref, t2s_ref, wbc_ref, wbs_ref,
+                wbsum_ref, wcc_ref, wcs_ref, wcsum_ref, dA_ref, dB_ref,
+                yr_ref, yi_ref, zAr_ref, zAi_ref, zBr_ref, zBi_ref):
+        import jax.experimental.pallas as pl
+
+        dt = theta_ref.dtype
+        f32_high = prec == HIGH and dt == jnp.float32
+        a0 = pl.program_id(0).astype(dt) * R
+
+        th = theta_ref[...]
+        rr = a0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0).astype(dt)
+        ang = th[None] * rr
+        c1 = jnp.cos(ang)
+        s1 = jnp.sin(ang)
+        t2c = t2c_ref[...][None]
+        t2s = t2s_ref[...][None]
+        ddA = dA_ref[...]
+        ddB = dB_ref[...]
+
+        if f32_high:
+            split = _bf16_split
+            neg = lambda p: (-p[0], -p[1])
+            f = lambda p, q: jnp.dot(p, q, preferred_element_type=jnp.float32)
+
+            def ldot(wp, x):
+                xh, xl = _bf16_split(x)
+                wh, wl = wp
+                return f(wh, xh) + f(wl, xh) + f(wh, xl)
+
+            def rdot(x, wp):
+                xh, xl = _bf16_split(x)
+                wh, wl = wp
+                return f(xh, wh) + f(xl, wh) + f(xh, wl)
+        else:
+            pr = HIGHEST if prec == HIGH else prec
+            split = lambda a: a
+            neg = lambda a: -a
+            ldot = lambda w, x: jnp.dot(w, x, precision=pr)
+            rdot = lambda x, w: jnp.dot(x, w, precision=pr)
+
+        wbcp = split(wbc_ref[...])
+        wbsp = split(wbs_ref[...])
+        wbsump = split(wbsum_ref[...])
+        wccp = split(wcc_ref[...])
+        wcsp = split(wcs_ref[...])
+        wcsump = split(wcsum_ref[...])
+        wbs_m = neg(wbsp)
+        wcs_m = neg(wcsp)
+        wbdiff = split(wbc_ref[...] - wbs_ref[...])
+        wcdiff = split(wcc_ref[...] - wcs_ref[...])
+
+        def cdot_left(br, bi, wr, wi, wsum):
+            t1 = ldot(wr, br)
+            t2 = ldot(wi, bi)
+            t3 = ldot(wsum, br + bi)
+            return t1 - t2, t3 - t1 - t2
+
+        def cdot_right(ar, ai, wr, wi, wsum):
+            t1 = rdot(ar, wr)
+            t2 = rdot(ai, wi)
+            t3 = rdot(ar + ai, wsum)
+            return t1 - t2, t3 - t1 - t2
+
+        for v in range(VT):
+            yr = yr_ref[v]
+            yi = yi_ref[v]
+            yr, yi = yr * c1 - yi * s1, yr * s1 + yi * c1     # T1
+            or_, oi_ = [], []
+            for r in range(R):
+                a, b = cdot_left(yr[r], yi[r], wbcp, wbsp, wbsump)
+                or_.append(a)
+                oi_.append(b)
+            yr = jnp.stack(or_)
+            yi = jnp.stack(oi_)
+            yr, yi = yr * t2c - yi * t2s, yr * t2s + yi * t2c  # T2
+            fr, fi = cdot_right(yr.reshape(R * B, C), yi.reshape(R * B, C),
+                                wccp, wcsp, wcsump)
+            fr = fr.reshape(R, B, C)
+            fi = fi.reshape(R, B, C)
+
+            for dd, zr_ref, zi_ref in ((ddA, zAr_ref, zAi_ref),
+                                       (ddB, zBr_ref, zBi_ref)):
+                yr = fr * dd
+                yi = fi * dd
+                gr, gi = cdot_right(yr.reshape(R * B, C),
+                                    yi.reshape(R * B, C),
+                                    wccp, wcs_m, wcdiff)
+                yr = gr.reshape(R, B, C)
+                yi = gi.reshape(R, B, C)
+                yr, yi = yr * t2c + yi * t2s, -yr * t2s + yi * t2c  # conj T2
+                or_, oi_ = [], []
+                for r in range(R):
+                    a, b = cdot_left(yr[r], yi[r], wbcp, wbs_m, wbdiff)
+                    or_.append(a)
+                    oi_.append(b)
+                yr = jnp.stack(or_)
+                yi = jnp.stack(oi_)
+                zr_ref[v] = yr * c1 + yi * s1                  # conj T1
+                zi_ref[v] = -yr * s1 + yi * c1
+
+    return _kernel
+
+
+def _middle_pallas_dual(yr, yi, dA, dB, plan: RadixPlan, prec):
+    """(V, A, B, C) planes -> two outputs, one per diagonal, with the
+    forward half of the middle computed once.  VT = 1 (the two extra
+    output tiles roughly double the out-slab VMEM next to the
+    double-buffered pipeline; a (VT=2) variant would brush the scoped
+    limit at B = C = 128)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, A, B, C = yr.shape
+    R = math.gcd(A, 8)
+    VT = 1
+    const = pl.BlockSpec((B, C), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
+    sq = lambda n: pl.BlockSpec((n, n), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((VT, R, B, C), lambda a, v: (v, a, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((R, B, C), lambda a, v: (a, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((V, A, B, C), yr.dtype)
+    return pl.pallas_call(
+        _make_middle_kernel_dual(prec, R, B, C, VT),
+        grid=(A // R, V // VT),
+        in_specs=[const, const, const, sq(B), sq(B), sq(B), sq(C), sq(C),
+                  sq(C), dspec, dspec, tile, tile],
+        out_specs=[tile, tile, tile, tile],
+        out_shape=[out, out, out, out],
+        interpret=jax.default_backend() != "tpu",
+    )(plan.theta, plan.t2c, plan.t2s, plan.wbc, plan.wbs, plan.wbsum,
+      plan.wcc, plan.wcs, plan.wcsum, dA, dB, yr, yi)
+
+
 def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
     """(V, A, B, C) complex planes -> same shape, fused middle stages.
 
@@ -355,6 +501,53 @@ def _make_s1_kernel(prec):
         t3 = dot(wsum_ref[...], xr + xi)
         yr_ref[0] = t1 - t2
         yi_ref[0] = t3 - t1 - t2
+
+    return kernel
+
+
+def _make_s1_dot_kernel(prec):
+    """Stage-1 kernel that additionally contracts its output against a
+    rider input: emits per-block partials of sum(ur * yr) and
+    sum(ui * yi).  Both CG inner products have this self-dot shape
+    (p . Ap and r . C^{-1}r dot the apply's own INPUT with its output),
+    so fusing them here removes the separate 2-vector reduction pass —
+    and its pipeline barrier — per PCG iteration."""
+
+    def kernel(wc_ref, ws_ref, wsum_ref, xr_ref, xi_ref, ur_ref, ui_ref,
+               yr_ref, yi_ref, pr_ref, pi_ref):
+        import jax.experimental.pallas as pl
+
+        dot = _make_dot(prec, xr_ref.dtype)
+        wc = wc_ref[...]
+        ws = ws_ref[...]
+        xr = xr_ref[0]
+        xi = xi_ref[0]
+        t1 = dot(wc, xr)
+        t2 = dot(ws, xi)
+        t3 = dot(wsum_ref[...], xr + xi)
+        yr = t1 - t2
+        yi = t3 - t1 - t2
+        yr_ref[0] = yr
+        yi_ref[0] = yi
+        # partials accumulate into a per-v resident (8, 128) tile (the
+        # output block's index map ignores t/k, so it stays in VMEM across
+        # the whole v-slice of the grid); host side sums the tile.
+        first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+
+        @pl.when(first)
+        def _init():
+            pr_ref[...] = jnp.zeros_like(pr_ref)
+            pi_ref[...] = jnp.zeros_like(pi_ref)
+
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+
+        def lane_sum(prod):
+            v = jnp.sum(prod, axis=0)                    # (T,)
+            v = jnp.sum(v.reshape(-1, 128), axis=0)      # (128,)
+            return jnp.where(row0, v[None, :], 0.0).astype(prod.dtype)
+
+        pr_ref[0] += lane_sum(ur_ref[0] * yr)
+        pi_ref[0] += lane_sum(ui_ref[0] * yi)
 
     return kernel
 
@@ -410,6 +603,66 @@ def _stage1_pallas(xr3, xi3, wc, ws, wsum, prec):
         out_specs=[ytile, ytile],
         out_shape=[out, out],
     )(wc, ws, wsum, xr3, xi3)
+
+
+def _stage1_inv_dot_pallas(zr3, zi3, ur3, ui3, wc, ws, wsum, prec):
+    """`_stage1_pallas` with the self-dot rider (see `_make_s1_dot_kernel`):
+    returns (yr, yi, dr, di) where dr[v] = sum(ur[v] * yr[v]) etc."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, Ain, BC = zr3.shape
+    Aout = wc.shape[0]
+    kb_max = max(128, 1 << (((6 * 1024 * 1024) // (12 * Ain)).bit_length() - 1))
+    KB = min(Aout, kb_max)
+    while Aout % KB:
+        KB //= 2
+    # rider blocks double the output-side VMEM: (Ain + 3*KB) live tiles
+    budget = max(128, (10 * 1024 * 1024 - 3 * KB * Ain * 4)
+                 // ((Ain + 3 * KB) * 4 * 4))
+    T = min(1024, BC, 1 << (budget.bit_length() - 1))
+    while BC % T:
+        T //= 2
+    sq = pl.BlockSpec((KB, Ain), lambda v, t, k: (k, 0),
+                      memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((1, Ain, T), lambda v, t, k: (v, 0, t),
+                         memory_space=pltpu.VMEM)
+    ytile = pl.BlockSpec((1, KB, T), lambda v, t, k: (v, k, t),
+                         memory_space=pltpu.VMEM)
+    ptile = pl.BlockSpec((1, 8, 128), lambda v, t, k: (v, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((V, Aout, BC), zr3.dtype)
+    pshape = jax.ShapeDtypeStruct((V, 8, 128), zr3.dtype)
+    yr, yi, pr, pi = pl.pallas_call(
+        _make_s1_dot_kernel(prec),
+        grid=(V, BC // T, Aout // KB),
+        in_specs=[sq, sq, sq, xtile, xtile, ytile, ytile],
+        out_specs=[ytile, ytile, ptile, ptile],
+        out_shape=[out, out, pshape, pshape],
+        interpret=jax.default_backend() != "tpu",
+    )(wc, ws, wsum, zr3, zi3, ur3, ui3)
+    return yr, yi, jnp.sum(pr, axis=(1, 2)), jnp.sum(pi, axis=(1, 2))
+
+
+def _stage1_inv_dot(zr, zi, ur, ui, plan: RadixPlan, prec,
+                    out_rows: Optional[int] = None):
+    """`_stage1_inv` + fused self-dot: (yr, yi, dr, di) with
+    dr[v] = ur[v] . yr[v], di[v] = ui[v] . yi[v] (ur/ui shaped like the
+    cropped output)."""
+    V = zr.shape[0]
+    A, B, C = plan.A, plan.B, plan.C
+    rows = A if out_rows is None else out_rows
+    wc = plan.wac if rows == A else plan.wac[:rows]
+    ws = -(plan.was if rows == A else plan.was[:rows])
+    if _use_s1_pallas(zr.dtype):
+        yr, yi, dr, di = _stage1_inv_dot_pallas(
+            zr.reshape(V, A, B * C), zi.reshape(V, A, B * C),
+            ur.reshape(V, rows, B * C), ui.reshape(V, rows, B * C),
+            wc, ws, wc + ws, prec,
+        )
+        return yr.reshape(V, rows * B * C), yi.reshape(V, rows * B * C), dr, di
+    yr, yi = _stage1_inv(zr, zi, plan, prec, out_rows)
+    return yr, yi, jnp.sum(ur * yr, axis=-1), jnp.sum(ui * yi, axis=-1)
 
 
 def _use_s1_pallas(dtype):
@@ -548,6 +801,58 @@ def fused_circulant_apply(xr, xi, d_perm, plan: RadixPlan, precision=HIGH,
     return _get_apply(plan.L, jnp.dtype(xr.dtype).name, precision, s1)(
         xr, xi, d_perm
     )
+
+
+def fused_circulant_apply_cropped_selfdot(
+    xr, xi, d_perm, plan: RadixPlan,
+    in_rows: int, out_rows: int,
+    precision=HIGH, stage1_precision=None,
+):
+    """Cropped apply + fused input.output inner products: returns
+    (yr, yi, dr, di) with y = C_d x (cropped as in
+    :func:`fused_circulant_apply_cropped`), dr[v] = xr[v] . yr[v] and
+    di[v] = xi[v] . yi[v].
+
+    Both PCG inner products are self-dots of an apply (p . Ap for the
+    matvec, r . z for the preconditioner), so emitting them from the
+    stage-1 inverse kernel's partials removes a separate two-vector
+    reduction pass — and its scalar-dependency pipeline barrier — per
+    iteration (measured 0.39 ms/iter of the M = 2^20 headline solve).
+    Requires in_rows == out_rows (the self-dot needs matching spaces).
+    Solver-internal; not differentiable (see `..._dual`).
+    """
+    assert in_rows == out_rows, "self-dot needs matching in/out crops"
+    s1 = STAGE1_PRECISION if stage1_precision is None else stage1_precision
+    yr, yi = _stage1_fwd(xr, xi, plan, s1, in_rows)
+    zr, zi = _middle_pallas(yr, yi, d_perm, plan, precision)
+    return _stage1_inv_dot(zr, zi, xr, xi, plan, s1, out_rows)
+
+
+def fused_circulant_apply_cropped_dual(
+    xr, xi, dA, dB, plan: RadixPlan,
+    in_rows: int, out_rows: int,
+    precision=HIGH, stage1_precision=None,
+):
+    """Cropped-IO circulant apply with TWO diagonals sharing one forward
+    transform: returns (C_dA x, C_dB x) as ((yAr, yAi), (yBr, yBi)).
+
+    Per pair this costs one stage-1 forward + one dual middle (3
+    half-chains) + two stage-1 inverses — vs two forwards + two full
+    middles + two inverses for two independent applies (~25% fewer MXU
+    passes and one fewer HBM round-trip of the input slab).  Built for the
+    Eisenstat PCG step in `ops/solve._planes_solver`, where per iteration
+    z = C^{-1} r and Az = (K C^{-1}) r are both needed for the SAME r.
+
+    NOT differentiable (no custom_vjp): it only ever runs inside the
+    `lax.custom_linear_solve` solver closure, which JAX never traces for
+    gradients — they flow through the differentiable `matmul_by_K`.
+    """
+    s1 = STAGE1_PRECISION if stage1_precision is None else stage1_precision
+    yr, yi = _stage1_fwd(xr, xi, plan, s1, in_rows)
+    zAr, zAi, zBr, zBi = _middle_pallas_dual(yr, yi, dA, dB, plan, precision)
+    outA = _stage1_inv(zAr, zAi, plan, s1, out_rows)
+    outB = _stage1_inv(zBr, zBi, plan, s1, out_rows)
+    return outA, outB
 
 
 def row_multiple(L: int) -> int:

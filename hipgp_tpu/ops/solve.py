@@ -63,6 +63,51 @@ def _planes_weights(spec: BTTBSpectrum, plan):
     return permute_weights(_full_weights(spec.eigs, L), plan) * L
 
 
+def _planes_pcg_fused(s0, dK, dC, plan, rows, mask, num_iters):
+    """Fixed-iteration PCG over packed planes with the inner products fused
+    into the applies.
+
+    Both CG dots are self-dots of an apply (p . Ap and r . z = r . C^{-1}r),
+    so `fused_circulant_apply_cropped_selfdot` emits them as stage-1-inverse
+    kernel partials: no separate two-vector reduction pass, no scalar
+    pipeline barrier between an apply and the axpys it gates (measured
+    0.39 ms/iteration at the M = 2^20 headline — RESULTS sec. 10).
+    Identical update order and guards to `cg.pcg_scan`; with `mask` the
+    state tails stay zero, so the fused dots (whose partner is the apply's
+    own zero-tailed input) need no masking — only the apply output does.
+    """
+    from .radix_fft import fused_circulant_apply_cropped_selfdot
+
+    def apply_dot(s, d_perm):
+        yr, yi, dr, di = fused_circulant_apply_cropped_selfdot(
+            s[0], s[1], d_perm, plan, rows, rows
+        )
+        y = jnp.stack([yr, yi])
+        if mask is not None:
+            y = y * mask
+        return y, jnp.stack([dr, di])
+
+    z, rz = apply_dot(s0, dC)  # rz = r0 . z0 with r0 = s0
+    x = jnp.zeros_like(s0)
+    r = s0
+    p = z
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        Ap, pAp = apply_dot(p, dK)
+        safe = jnp.abs(pAp) > 0
+        alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * Ap
+        z, rz_new = apply_dot(r, dC)
+        beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[..., None] * p
+        return (x, r, p, rz_new), None
+
+    (x, *_), _ = lax.scan(step, (x, r, p, rz), None, length=num_iters)
+    return x
+
+
 def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
                    fixed_iters: bool):
     """PCG solver over PACKED complex planes for the 1-D radix path.
@@ -115,11 +160,11 @@ def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
             y = jnp.stack([yr, yi])
             return y * mask if mask is not None else y
 
-        mv = lambda s: crop_apply(s, dK)
-        pc = lambda s: crop_apply(s, dC)
         if fixed_iters:
-            x = pcg_scan(mv, s0, precond=pc, num_iters=maxiter)
+            x = _planes_pcg_fused(s0, dK, dC, plan, rows, mask, maxiter)
         else:
+            mv = lambda s: crop_apply(s, dK)
+            pc = lambda s: crop_apply(s, dC)
             x = pcg(mv, s0, precond=pc, maxiter=maxiter, tol=tol)
         out = jnp.stack([x[0], x[1]], axis=1).reshape(-1, Mp)[:nb, :M]
         return out.reshape(batch + (M,))

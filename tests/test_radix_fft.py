@@ -218,3 +218,87 @@ def test_rt_planes_matches_matmul_by_rt():
     np.testing.assert_allclose(np.asarray(_rt_planes(spec, d)),
                                np.asarray(matmul_by_RT(spec, d)),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_selfdot_apply_matches_apply_plus_dot():
+    """fused_circulant_apply_cropped_selfdot == (cropped apply, x . y) —
+    f64 einsum fallback AND the f32 Pallas s1-dot kernel (interpret mode,
+    called directly since the dispatch gate is TPU-only)."""
+    from hipgp_tpu.ops.radix_fft import (_stage1_fwd, _stage1_inv_dot_pallas,
+                                         _middle_pallas,
+                                         fused_circulant_apply_cropped,
+                                         fused_circulant_apply_cropped_selfdot,
+                                         row_multiple, HIGH,
+                                         STAGE1_PRECISION)
+
+    L = 8192
+    plan64 = make_plan(L, jnp.float64)
+    rng = np.random.default_rng(3)
+    rows = (L // 2) // row_multiple(L)
+    M = rows * row_multiple(L)
+    xr = jnp.asarray(rng.standard_normal((2, M)))
+    xi = jnp.asarray(rng.standard_normal((2, M)))
+    d = _even_spectrum(L, rng)
+    dperm = permute_weights(jnp.asarray(d) / L, plan64)
+
+    yr, yi = fused_circulant_apply_cropped(xr, xi, dperm, plan64, rows, rows)
+    gr, gi, dr, di = fused_circulant_apply_cropped_selfdot(
+        xr, xi, dperm, plan64, rows, rows)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(yr), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(yi), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dr),
+                               np.sum(np.asarray(xr) * np.asarray(yr), -1),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(di),
+                               np.sum(np.asarray(xi) * np.asarray(yi), -1),
+                               rtol=1e-10)
+
+    # f32 Pallas s1-dot kernel directly (interpret mode on CPU)
+    plan32 = make_plan(L, jnp.float32)
+    B, C = plan32.B, plan32.C
+    xr32, xi32 = xr.astype(jnp.float32), xi.astype(jnp.float32)
+    d32 = permute_weights(jnp.asarray(d, jnp.float32) / L, plan32)
+    fr, fi = _stage1_fwd(xr32, xi32, plan32, STAGE1_PRECISION, rows)
+    zr, zi = _middle_pallas(fr, fi, d32, plan32, HIGH)
+    A = plan32.A
+    wc = plan32.wac[:rows]
+    ws = -plan32.was[:rows]
+    pyr, pyi, pdr, pdi = _stage1_inv_dot_pallas(
+        zr.reshape(2, A, B * C), zi.reshape(2, A, B * C),
+        xr32.reshape(2, rows, B * C), xi32.reshape(2, rows, B * C),
+        wc, ws, wc + ws, STAGE1_PRECISION)
+    np.testing.assert_allclose(np.asarray(pyr).reshape(2, -1),
+                               np.asarray(yr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(pdr), np.sum(np.asarray(xr) * np.asarray(yr), -1),
+        rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(pdi), np.sum(np.asarray(xi) * np.asarray(yi), -1),
+        rtol=2e-3)
+
+
+def test_dual_apply_matches_two_singles():
+    """fused_circulant_apply_cropped_dual == two independent cropped
+    applies (shared forward transform, two diagonals)."""
+    from hipgp_tpu.ops.radix_fft import (fused_circulant_apply_cropped,
+                                         fused_circulant_apply_cropped_dual,
+                                         row_multiple)
+
+    L = 8192
+    plan = make_plan(L, jnp.float64)
+    rng = np.random.default_rng(4)
+    rows = (L // 2) // row_multiple(L)
+    M = rows * row_multiple(L)
+    xr = jnp.asarray(rng.standard_normal((2, M)))
+    xi = jnp.asarray(rng.standard_normal((2, M)))
+    dA = permute_weights(jnp.asarray(_even_spectrum(L, rng)) / L, plan)
+    dB = permute_weights(jnp.asarray(_even_spectrum(L, rng)) / L, plan)
+
+    wantA = fused_circulant_apply_cropped(xr, xi, dA, plan, rows, rows)
+    wantB = fused_circulant_apply_cropped(xr, xi, dB, plan, rows, rows)
+    (gAr, gAi), (gBr, gBi) = fused_circulant_apply_cropped_dual(
+        xr, xi, dA, dB, plan, rows, rows)
+    np.testing.assert_allclose(np.asarray(gAr), np.asarray(wantA[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gAi), np.asarray(wantA[1]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gBr), np.asarray(wantB[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gBi), np.asarray(wantB[1]), rtol=1e-12)
