@@ -108,6 +108,52 @@ def _planes_pcg_fused(s0, dK, dC, plan, rows, mask, num_iters):
     return x
 
 
+def _planes_pcg_fused_while(s0, dK, dC, plan, rows, mask, maxiter, tol):
+    """Early-exit variant of :func:`_planes_pcg_fused` (`cg.pcg` semantics:
+    ``all(||r|| < tol)`` exit).  The two CG dots ride the applies exactly as
+    in the scan variant; the exit test's ||r||^2 is the one reduction that
+    cannot ride an apply (it gates the while condition), computed right
+    after the r update where XLA fuses it into the same pass."""
+    from .radix_fft import fused_circulant_apply_cropped_selfdot
+
+    def apply_dot(s, d_perm):
+        yr, yi, dr, di = fused_circulant_apply_cropped_selfdot(
+            s[0], s[1], d_perm, plan, rows, rows
+        )
+        y = jnp.stack([yr, yi])
+        if mask is not None:
+            y = y * mask
+        return y, jnp.stack([dr, di])
+
+    z, rz = apply_dot(s0, dC)
+    x = jnp.zeros_like(s0)
+    r = s0
+    p = z
+    rr = jnp.sum(r * r, axis=-1)
+    tol_sq = jnp.asarray(tol, s0.dtype) ** 2
+
+    def cond(carry):
+        k, _x, _r, _p, _rz, rr = carry
+        return jnp.logical_and(k < maxiter, jnp.any(rr >= tol_sq))
+
+    def body(carry):
+        k, x, r, p, rz, _rr = carry
+        Ap, pAp = apply_dot(p, dK)
+        safe = jnp.abs(pAp) > 0
+        alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
+        x = x + alpha[..., None] * p
+        r = r - alpha[..., None] * Ap
+        rr = jnp.sum(r * r, axis=-1)
+        z, rz_new = apply_dot(r, dC)
+        beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[..., None] * p
+        return (k + 1, x, r, p, rz_new, rr)
+
+    k0 = jnp.asarray(0, jnp.int32)
+    _, x, *_ = lax.while_loop(cond, body, (k0, x, r, p, rz, rr))
+    return x
+
+
 def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
                    fixed_iters: bool):
     """PCG solver over PACKED complex planes for the 1-D radix path.
@@ -126,8 +172,7 @@ def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
     gradients never trace it: they flow through the differentiable
     `matmul_by_K` instead.
     """
-    from .radix_fft import (fused_circulant_apply_cropped, make_plan,
-                            row_multiple)
+    from .radix_fft import make_plan, row_multiple
 
     M, L = spec.M, spec.edims[0]
     BC = row_multiple(L)
@@ -153,19 +198,11 @@ def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
             mask = None
         s0 = jnp.stack([flat[0::2], flat[1::2]])  # (2, V, Mp)
 
-        def crop_apply(s, d_perm):
-            yr, yi = fused_circulant_apply_cropped(
-                s[0], s[1], d_perm, plan, rows, rows
-            )
-            y = jnp.stack([yr, yi])
-            return y * mask if mask is not None else y
-
         if fixed_iters:
             x = _planes_pcg_fused(s0, dK, dC, plan, rows, mask, maxiter)
         else:
-            mv = lambda s: crop_apply(s, dK)
-            pc = lambda s: crop_apply(s, dC)
-            x = pcg(mv, s0, precond=pc, maxiter=maxiter, tol=tol)
+            x = _planes_pcg_fused_while(s0, dK, dC, plan, rows, mask,
+                                        maxiter, tol)
         out = jnp.stack([x[0], x[1]], axis=1).reshape(-1, Mp)[:nb, :M]
         return out.reshape(batch + (M,))
 

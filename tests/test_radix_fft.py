@@ -302,3 +302,25 @@ def test_dual_apply_matches_two_singles():
     np.testing.assert_allclose(np.asarray(gAi), np.asarray(wantA[1]), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(gBr), np.asarray(wantB[0]), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(gBi), np.asarray(wantB[1]), rtol=1e-12)
+
+
+def test_planes_solver_while_matches_scan():
+    """The early-exit (fixed_iters=False) planes solver == the scan solver
+    at huge tol-headroom (exit never fires) and respects the exit when it
+    does (tol large -> fewer effective iterations, still a valid iterate)."""
+    from hipgp_tpu.kernels import SqExp
+    from hipgp_tpu.ops import make_spectrum
+    from hipgp_tpu.ops.solve import _planes_solver
+
+    M = 4096
+    grid = [jnp.linspace(0.0, 1.0, M)]
+    kern = SqExp()
+    kf = lambda a, b: kern(a, b, (1.0, 2.5 / M))
+    spec = make_spectrum(grid, kf, jitter=1e-3)
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal((3, M)))
+
+    want = _planes_solver(spec, 12, 0.0, True)(None, b)
+    got = _planes_solver(spec, 12, 1e-30, False)(None, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-14)
