@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -399,6 +400,15 @@ def dp_svigp_fit(model, state, xtrain, ytrain, noise_std_train, config, mesh,
         trace.extend(elbos)
         epoch_elbos.append(sum(elbos) / len(elbos))
         epoch_times.append(time.time() - t0)
+        if (getattr(config, "error_on_nonfinite", True)
+                and not np.isfinite(epoch_elbos[-1])):
+            raise RuntimeError(
+                f"[dp] epoch {epoch} mean ELBO is non-finite "
+                f"({epoch_elbos[-1]}) — same guidance as infer.svigp_fit: "
+                "lower the natgrad lr (mean-field stability limit, RESULTS "
+                "sec. 12) or use batch_solve; set "
+                "config.error_on_nonfinite=False to grind on."
+            )
         if verbose:
             print(f"[dp] epoch {epoch}: elbo {epoch_elbos[-1]:.4f} "
                   f"({epoch_times[-1]:.2f}s)")

@@ -93,3 +93,16 @@ def test_nonfinite_optout_grinds_on():
     _, rep = svigp_fit(model, model.init_state(), x, y, s, cfg,
                        natgrad_safe_lr="off", verbose=False)
     assert not np.isfinite(rep["epoch_elbos"][-1])
+
+
+def test_dp_nonfinite_epoch_raises():
+    from hipgp_tpu.parallel import make_mesh
+    from hipgp_tpu.parallel.dp import dp_svigp_fit
+
+    model, x, y, s = _setup(ell=0.1, m=16, N=256)
+    y = y.at[3].set(jnp.nan)
+    cfg = FitConfig(epochs=1, batch_size=64, lr=1e-3, schedule_lr=False,
+                    maxiter_cg=5)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        dp_svigp_fit(model, model.init_state(), x, y, s, cfg, make_mesh(),
+                     verbose=False)
