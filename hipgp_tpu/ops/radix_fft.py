@@ -194,6 +194,12 @@ def _make_dot(prec, dtype):
     return functools.partial(jnp.dot, precision=prec)
 
 
+# Middle-kernel tiling overrides (None = the measured defaults: R=gcd(A,8),
+# VT=2).  Exposed for on-chip tiling experiments; see RESULTS sec. 10.
+_MIDDLE_R = None
+_MIDDLE_VT = None
+
+
 def _make_middle_kernel(prec, R, B, C, VT):
     """v3 layout: stage-major over the whole resident (VT, R, B, C) slab.
 
@@ -468,8 +474,9 @@ def _middle_pallas(yr, yi, d_perm, plan: RadixPlan, prec):
     from jax.experimental.pallas import tpu as pltpu
 
     V, A, B, C = yr.shape
-    R = math.gcd(A, 8)
-    VT = 2 if V % 2 == 0 else 1
+    R = _MIDDLE_R if _MIDDLE_R and A % _MIDDLE_R == 0 else math.gcd(A, 8)
+    VT = (_MIDDLE_VT if _MIDDLE_VT and V % _MIDDLE_VT == 0
+          else (2 if V % 2 == 0 else 1))
     const = pl.BlockSpec((B, C), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
     sq = lambda n: pl.BlockSpec((n, n), lambda a, v: (0, 0), memory_space=pltpu.VMEM)
     tile = pl.BlockSpec((VT, R, B, C), lambda a, v: (v, a, 0, 0),
