@@ -155,6 +155,34 @@ def _mp_on_chip_rel(jax, jnp):
                          mean_solver_maxiter=200)
     num = float(jnp.max(jnp.abs(got.theta1 - ref.theta1)))
     den = float(jnp.max(jnp.abs(ref.theta1)))
+
+    # ... and one grid-sharded natgrad TRAIN step (elbo + natural grads +
+    # hyper grads through the sharded implicit-diff solve) on the real
+    # chip: the training path's Mosaic/collective lowering, not just the
+    # closed-form solve's.
+    import optax
+
+    from hipgp_tpu.infer.fit import FitConfig, make_optimizer
+    from hipgp_tpu.parallel import mp_elbo_and_grads
+
+    cfg = FitConfig(epochs=1, batch_size=128, lr=1e-3, maxiter_cg=5)
+    opt = make_optimizer(state, cfg)
+
+    @jax.jit
+    def train_step(st, opt_state, xb, yb, sb, wb):
+        elbo, grads = mp_elbo_and_grads(
+            model=model, state=st, x=xb, y=yb, noise_std=sb, mesh=mesh,
+            maxiter_cg=5, weights=wb, compute_hyper_grads=True,
+        )
+        updates, opt_state = opt.update(grads, opt_state, st)
+        return optax.apply_updates(st, updates), opt_state, elbo
+
+    st0 = mp_shard_state(state, mesh)
+    _, _, elbo = jax.block_until_ready(
+        train_step(st0, opt.init(st0), x[:128], y[:128], s[:128],
+                   jnp.ones((128,), jnp.float32))
+    )
+    assert np.isfinite(float(elbo)), "on-chip mp train step: non-finite elbo"
     return num / (den + 1e-30)
 
 
