@@ -125,41 +125,50 @@ def make_optimizer(state, config: FitConfig):
     return opt
 
 
-def natgrad_stability_rho(kn, ivar, theta2, bscale, iters: int = 30):
+def natgrad_stability_rho(kn, ivar, state, model, bscale, iters: int = 30):
     """Top eigenvalue rho of the warm-metric-preconditioned batch precision
-    for the MEAN-FIELD natural-gradient iteration, by power iteration.
+    for the natural-gradient iteration, by power iteration.
 
     The linearized theta1 natgrad recursion is ``eta1 <- (I - lr * B S) eta1
     + const`` with ``B = bscale * kn^T diag(ivar) kn + I`` (one batch's
-    implied precision) and ``S = diag(-2 theta2)^{-1}`` (the current
-    variational metric — after ``theta2_warmstart`` this is the full-data
-    DIAGONAL precision).  Stability requires ``lr < 2 / rho`` with
-    ``rho = lambda_max(B S)``.  Mean-field keeps only the diagonal of the
-    curvature, so under strong correlation (lengthscale spanning many grid
-    spacings) the collective top eigenvalue of B exceeds its diagonal by
-    orders of magnitude and rho >> 1: the documented ell=0.2, M=125^2
-    divergence (RESULTS sec. 12) is exactly this — measured rho = 715 gives
-    lr_crit = 2.8e-3, bracketing the observed stable/divergent lrs (2e-3 /
-    1e-2) — NOT an f32 or eigenvalue-clamp effect (the clamp never engages
-    there: min circulant eig = jitter at both precisions).
+    implied precision) and ``S`` the current variational covariance (the
+    metric) — after ``theta2_warmstart`` this is the inverse of the
+    full-data FAMILY-SHAPED precision.  Stability requires ``lr < 2 / rho``
+    with ``rho = lambda_max(B S)``.  The family keeps only part of the
+    curvature (diagonal for mean-field, block-diagonal for block), so
+    under strong correlation (lengthscale spanning many grid spacings) the
+    collective top eigenvalue of B exceeds the retained part by orders of
+    magnitude and rho >> 1: the documented ell=0.2, M=125^2 divergence
+    (RESULTS sec. 12) is exactly this — measured rho = 715 gives lr_crit
+    = 2.8e-3, bracketing the observed stable/divergent lrs (2e-3 / 1e-2) —
+    NOT an f32 or eigenvalue-clamp effect (the clamp never engages there:
+    min circulant eig = jitter at both precisions).
 
-    Power-iterates the symmetric similar matrix ``D^{-1/2} B D^{-1/2}``
-    (D = -2 theta2).  Cost: ``2 * iters`` (bsz, M') matvecs — negligible
-    next to the theta2_warmstart sweep that precedes it.
+    ``B S`` is similar to the SPD ``S^{1/2} B S^{1/2}``, so plain power
+    iteration with a norm-ratio Rayleigh estimate converges to the real
+    positive lambda_max.  S is applied through the model's own family
+    dispatch (diag / block_diag_multiply / dense).  Cost: ``2 * iters``
+    (bsz, M') matvecs — negligible next to the theta2_warmstart sweep
+    that precedes it.
     """
-    lam_bar = -2.0 * theta2
-    sinv = 1.0 / jnp.sqrt(lam_bar)
+    _, S = model.standard_params(state)
+    if model.family == "mean-field":
+        apply_S = lambda v: S * v
+    elif model.family == "block":
+        apply_S = lambda v: model.block_diag_multiply(S, v[None, :])[0]
+    else:
+        apply_S = lambda v: S @ v
 
     @jax.jit
-    def run(kn, ivar, sinv, lam_bar):
-        def mv(z):
-            u = sinv * z
-            return sinv * (bscale * (kn.T @ (ivar * (kn @ u)))) + z / lam_bar
+    def run(kn, ivar):
+        def mv(v):
+            u = apply_S(v)
+            return bscale * (kn.T @ (ivar * (kn @ u))) + u
 
         def body(_, carry):
             z, _ = carry
             q = mv(z)
-            rho = jnp.vdot(z, q)
+            rho = jnp.linalg.norm(q) / jnp.linalg.norm(z)
             return q / jnp.linalg.norm(q), rho
 
         z0 = jnp.sin(jnp.arange(kn.shape[-1], dtype=kn.dtype) * 0.73) + 0.1
@@ -167,7 +176,7 @@ def natgrad_stability_rho(kn, ivar, theta2, bscale, iters: int = 30):
         _, rho = jax.lax.fori_loop(0, iters, body, (z0, jnp.zeros((), kn.dtype)))
         return rho
 
-    return float(run(kn, ivar, sinv, lam_bar))
+    return float(run(kn, ivar))
 
 
 def _batch_kn_ivar(model, state, xl, sl, wl, config, kn_fn=None):
@@ -272,10 +281,10 @@ def svigp_fit(
     only its shard).
 
     ``natgrad_safe_lr``: 'warn' (default) | 'clamp' | 'off'.  With
-    ``theta2_warmstart`` on a mean-field natgrad fit, the warm metric
+    ``theta2_warmstart`` on a natgrad fit (any family), the warm metric
     enables a cheap power-iteration estimate of the step-size stability
     limit ``lr_crit = 2/rho`` (see :func:`natgrad_stability_rho`): under
-    strong correlation the mean-field diagonal metric underestimates the
+    strong correlation the family's partial (diag/block) metric underestimates the
     collective curvature and the natural-gradient recursion diverges
     geometrically for lr above it (the reference has the same instability
     and no guard).  'warn' raises a ``UserWarning`` when ``config.lr``
@@ -349,7 +358,8 @@ def svigp_fit(
         natgrad_safe_lr != "off"
         and warmstarted
         and config.fit_method == "natgrad"
-        and getattr(model, "family", None) == "mean-field"
+        and getattr(model, "family", None) in ("mean-field", "block",
+                                               "full-rank")
     ):
         if natgrad_safe_lr not in ("warn", "clamp"):
             raise ValueError(f"natgrad_safe_lr={natgrad_safe_lr!r}: "
@@ -359,13 +369,13 @@ def svigp_fit(
             config, kn_fn=kn_fn,
         )
         bscale = model.N / xb.shape[1]
-        natgrad_rho = natgrad_stability_rho(kn0, ivar0, state.theta2, bscale)
+        natgrad_rho = natgrad_stability_rho(kn0, ivar0, state, model, bscale)
         natgrad_lr_crit = 2.0 / natgrad_rho
         if config.lr > 0.5 * natgrad_lr_crit:
             msg = (
                 f"natgrad lr={config.lr:g} exceeds half the estimated "
-                f"mean-field stability limit lr_crit=2/rho={natgrad_lr_crit:.3g} "
-                f"(rho={natgrad_rho:.1f}): the mean-field metric "
+                f"natgrad stability limit lr_crit=2/rho={natgrad_lr_crit:.3g} "
+                f"(rho={natgrad_rho:.1f}): the variational-family metric "
                 "underestimates the collective curvature at this "
                 "lengthscale/grid and the natural-gradient iteration "
                 "diverges geometrically above lr_crit (RESULTS sec. 12)."
@@ -428,7 +438,7 @@ def svigp_fit(
             raise RuntimeError(
                 f"epoch {epoch} mean ELBO is non-finite "
                 f"({epoch_elbos[-1]}){hint}. For natgrad fits this usually "
-                "means the lr is above the mean-field natural-gradient "
+                "means the lr is above the natural-gradient "
                 "stability limit at this lengthscale/grid — rerun with "
                 "theta2_warmstart=True and natgrad_safe_lr='clamp', lower "
                 "config.lr, or use the closed-form batch_solve (RESULTS "

@@ -106,3 +106,26 @@ def test_dp_nonfinite_epoch_raises():
     with pytest.raises(RuntimeError, match="non-finite"):
         dp_svigp_fit(model, model.init_state(), x, y, s, cfg, make_mesh(),
                      verbose=False)
+
+
+def test_block_family_stability_estimate():
+    """The rho estimate generalizes to the block family (S applied through
+    block_diag_multiply): same strongly-correlated config, block metric
+    retains more curvature than mean-field so rho is no larger; the
+    clamped fit completes finite."""
+    rng = np.random.default_rng(0)
+    N, m, dt = 512, 48, jnp.float32
+    x = jnp.asarray(rng.uniform(-1, 1, (N, 2)), dt)
+    f = np.sin(3 * np.asarray(x[:, 0])) * np.cos(2 * np.asarray(x[:, 1]))
+    y = jnp.asarray(f + 0.1 * rng.standard_normal(N), dt)
+    s = jnp.full((N,), 0.1, dt)
+    model = HIPGP(SqExp(), [jnp.linspace(-1, 1, m, dtype=dt)] * 2,
+                  num_obs=N, family="block", xblock_size=2, ell_init=0.35,
+                  sig2_init=0.5, noise2_init=0.01, dtype=dt)
+    cfg = FitConfig(epochs=1, batch_size=128, lr=1e-2, schedule_lr=False,
+                    maxiter_cg=20)
+    state, rep = svigp_fit(model, model.init_state(), x, y, s, cfg,
+                           theta2_warmstart=True, natgrad_safe_lr="clamp",
+                           verbose=False)
+    assert rep["natgrad_rho"] is not None and rep["natgrad_rho"] > 1.0
+    assert np.isfinite(np.asarray(state.theta1)).all()
