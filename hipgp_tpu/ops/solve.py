@@ -17,9 +17,6 @@ exact regardless of how the forward iteration was truncated.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
