@@ -275,6 +275,7 @@ def fit_predict_and_save(
     maxiter_cg: int = 10,
     mean_solver: str = "dense",
     theta2_warmstart: bool = False,
+    natgrad_safe_lr: str = "warn",
     xtest=None, etest=None, ftest=None,
     xvalid=None, evalid=None, fvalid=None,
     xgrid=None, egrid=None, fgrid=None,
@@ -458,6 +459,7 @@ def fit_predict_and_save(
                 model, state, xobs, yobs, sobs, cfg, mesh,
                 verbose=True,
                 theta2_warmstart=theta2_warmstart,
+                natgrad_safe_lr=natgrad_safe_lr,
                 epoch_callback=epoch_callback,
             )
         elif parallel == "dp":
@@ -468,6 +470,7 @@ def fit_predict_and_save(
                 model, state, xobs, yobs, sobs, cfg_dp,
                 verbose=True,
                 theta2_warmstart=theta2_warmstart,
+                natgrad_safe_lr=natgrad_safe_lr,
                 epoch_callback=epoch_callback,
                 data_shard_fn=make_dp_data_shard_fn(mesh),
             )
@@ -476,6 +479,7 @@ def fit_predict_and_save(
                 model, state, xobs, yobs, sobs, cfg,
                 verbose=True,
                 theta2_warmstart=theta2_warmstart,
+                natgrad_safe_lr=natgrad_safe_lr,
                 epoch_callback=epoch_callback,
             )
         train_elbo = report["epoch_elbos"][-1] if report["epoch_elbos"] else None
