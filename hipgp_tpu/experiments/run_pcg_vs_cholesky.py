@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
+    from ..utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     dtype = jnp.float64 if args.f64 else jnp.float32
     os.makedirs(args.output_dir, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -86,7 +89,8 @@ def main(argv=None):
 
             rows.append({"M": M, "pcg_fft_sec": t_pcg, "cholesky_sec": t_chol})
             print(f"{kname} M={M:>8d}: pcg {t_pcg*1e3:9.2f} ms   "
-                  f"cholesky {t_chol*1e3 if np.isfinite(t_chol) else float('nan'):9.2f} ms")
+                  f"cholesky {t_chol*1e3 if np.isfinite(t_chol) else float('nan'):9.2f} ms",
+                  flush=True)
         df = pd.DataFrame(rows)
         df.to_csv(
             os.path.join(
