@@ -67,7 +67,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
     p.add_argument("--learn-kernel", action="store_true",
                    help="learn hyperparameters (uses cholesky whitening, as"
                         " the reference requires for this protocol)")

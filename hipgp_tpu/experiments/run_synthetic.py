@@ -52,7 +52,7 @@ def main(argv=None):
                    default=None,
                    help="grid-search the lengthscale by batch-solve ELBO "
                         "before fitting (the reference's ell annealing)")
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
     p.add_argument("--parallel", default=None, choices=["dp", "mp"],
                    help="fit over a device mesh: 'dp' shards batch rows, "
                         "'mp' also shards the whitened state over 'grid' "

@@ -102,7 +102,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram"])
+    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
     p.add_argument("--output-dir", default="./output-ukhousing")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)

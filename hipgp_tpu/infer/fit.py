@@ -40,9 +40,11 @@ def prefer_eager_batch_solve(mean_solver: str) -> bool:
     maxiter_cg<=10).  The per-stage path is already internally jitted
     (``lax.scan`` accumulation, PCG while-loops), so eager execution costs
     only a handful of dispatch latencies and avoids both the pathology and
-    the minutes-long whole-program compile.
+    the minutes-long whole-program compile.  The 'factored' solver shares
+    the staged structure (accumulate / factor / whiten / mean solve) and
+    runs eager for the same reason.
     """
-    return mean_solver == "gram"
+    return mean_solver in ("gram", "factored")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,9 +45,24 @@ from ..ops.bttb import BTTBSpectrum, embedded_dims
 from ..utils import blocks as blk
 from ..utils import stats
 
-__all__ = ["HIPGP", "HIPGPState"]
+__all__ = ["HIPGP", "HIPGPState", "FactoredSolveInconsistency"]
 
 LN2PI = math.log(2.0 * math.pi)
+
+
+class FactoredSolveInconsistency(RuntimeError):
+    """The factored batch solve's exactness check failed.
+
+    For any PSD kernel, sum_n ivar_n kn_n.kn_n <= sum_n ivar_n Knn_n (the
+    Nystrom residual is the Schur complement of a PSD matrix).  The factored
+    solver computes the left side as tr(K^{-1} A) = ||W L_A||_F^2 through
+    truncated PCG solves on the ROUGH Cholesky-factor columns of the data
+    Gram; on heavily clamped spectra in f32 those solves can be far less
+    converged than the smooth kernel-row solves of the sweep-based paths
+    (measured: SqExp at ell = 2.5 grid spacings on a 32^2 grid breaks the
+    identity by orders of magnitude while the sweep path stays consistent).
+    `batch_solve` catches this and falls back to the 'gram' sweep solver.
+    """
 
 
 @struct.dataclass
@@ -629,6 +644,301 @@ class HIPGP:
             theta2=theta2,
         )
 
+    def _lam_from_factor_rows(self, G: jnp.ndarray):
+        """Family-shaped sum_k g_k g_k^T (no prior identity) from factor
+        rows G, where row k is (W l_k)^T with A = sum_k l_k l_k^T."""
+        if self.family == "mean-field":
+            return jnp.sum(G * G, axis=0)
+        if self.family == "block":
+            Gb = blk.to_blocks(G, self.blk_idx)  # (r, nb, bs)
+            return jnp.einsum("rni,rnj->nij", Gb, Gb)
+        return G.T @ G
+
+    def _batch_solve_factored(
+        self, state, spec, xp, yp, w, keys, nsp, N, *,
+        maxiter_cg, integrated_obs, semi_integrated_estimator,
+        semi_integrated_samps, mean_solver_maxiter, mean_solver_tol,
+        compute_elbo, factor_jitter,
+    ):
+        """Closed-form solve with O(M) whitening solves instead of O(N).
+
+        The sweep-based paths run one truncated-PCG whitening per data batch
+        (twice when the ELBO is requested) — 2N right-hand sides total.  But
+        with W = R^T K^{-1} and K = R R^T holding EXACTLY for the clamped
+        circulant operator (`matmul_by_K` IS P C P^T with the same clamped
+        spectrum R is built from), every quantity of the closed-form optimum
+        (`ziggy/hipgp.py:278-368`) is a function of the M-space data Gram
+        A = sum_n Knm_n Knm_n^T / s_n^2 and b_m = sum_n y_n Knm_n / s_n^2:
+
+        * Lambda - I = W A W^T = G^T-products of  G = W L_A  where
+          A = L_A L_A^T (Cholesky): M whitening solves, not N.
+        * optimal mean: m = R (K+A)^{-1} b_m (the 'gram' Woodbury collapse).
+        * ELBO data term, summed in closed form with z = (K+A)^{-1} b_m
+          (and v = K^{-1} R qm in general, = z when qm = R^T z):
+            sum ivar (kn.m - y)^2 = v A v - 2 v b_m + sum ivar y^2,
+            sum ivar kn.kn        = tr(K^{-1} A) = ||G||_F^2,
+            sum ivar kn S kn      = sum(S * (Lambda - I))  (family-shaped),
+          plus per-point scalars (sum ivar Knn, noise log-terms) accumulated
+          in the same no-PCG sweep as A.
+
+        The data sweep therefore contains NO PCG at all (kernel evaluations
+        + MXU rank-bsz updates), and the whitening cost drops from 2N to
+        M+2 right-hand sides — the method of choice when N >> M.  Identical
+        family optimum as 'gram'; truncation error enters through the
+        factor solves instead of the per-point kn solves (agreement vs the
+        dense path is checked in tests/test_factored_solve.py).
+        """
+        dtype = self.dtype
+        zero = jnp.asarray(0.0, dtype)
+        if nsp is None:
+            # homoscedastic: ivar = w exp(-log_noise2) and log s_n =
+            # log_noise2 / 2 are exactly the heteroscedastic formulas
+            # evaluated at ns = exp(log_noise2 / 2)
+            nsp = jnp.exp(0.5 * state.log_noise2) * jnp.ones_like(w)
+
+        fns = self._factored_stage_fns(
+            (maxiter_cg, integrated_obs, semi_integrated_estimator,
+             semi_integrated_samps, mean_solver_maxiter, mean_solver_tol, N)
+        )
+
+        A, bm, sy2, sKnn, slog = fns["stats_sweep"](
+            state, xp, yp, w, keys, nsp
+        )
+
+        # symmetric factor of A (PSD up to roundoff; relative jitter keeps
+        # the f32 Cholesky alive — the perturbation is epsilon * diag(W W^T)
+        # on Lambda, far below the data terms).  Eagerly (the shipped path —
+        # prefer_eager_batch_solve routes 'factored' eager) the jitter
+        # escalates x100 up to 4 times before failing loudly; under an outer
+        # jit the first value must suffice.
+        if factor_jitter is None:
+            # measured at 3droad M=128^2 (f32, HIGHEST accumulation): rungs
+            # below 1e-4 x meandiag leave A indefinite; f64 tolerates 1e-10
+            factor_jitter = (
+                1e-4 if np.dtype(dtype) == np.dtype(np.float32) else 1e-10
+            )
+        eps = factor_jitter * jnp.mean(jnp.diag(A))
+        L_A = fns["chol_at"](A, eps)
+        if not isinstance(L_A, jax.core.Tracer):
+            tries = 0
+            while not bool(jnp.all(jnp.isfinite(L_A))) and tries < 4:
+                eps = eps * 100.0
+                tries += 1
+                L_A = fns["chol_at"](A, eps)
+            if not bool(jnp.all(jnp.isfinite(L_A))):
+                raise FloatingPointError(
+                    "factored mean solver: Cholesky of the accumulated data "
+                    "Gram stayed non-finite up to jitter "
+                    f"{float(eps):.3e}; raise factor_jitter (A is PSD only "
+                    "up to accumulation roundoff)"
+                )
+
+        if self.whitened_type == "cholesky":
+            lam, trKinvA = fns["g_stage"](state, L_A)
+        else:
+            lam, trKinvA = fns["g_stage"](spec, L_A)
+
+        # exactness self-check: sum ivar kn.kn <= sum ivar Knn must hold for
+        # any PSD kernel (Nystrom residual >= 0); a violation means the
+        # truncated PCG on the rough factor columns diverged from the
+        # smooth-RHS truncation the sweep paths see (observed on heavily
+        # clamped f32 spectra).  Eager only — under an outer jit the values
+        # are tracers.
+        # Threshold anchors (measured): a healthy-but-rough f32 run (3droad
+        # M=128^2, Mat32) overshoots by 4.3% from benign CG roundoff while
+        # producing BETTER post-RMSE than the sweep path; the genuinely
+        # broken regime (SqExp at 2.5 spacings, f32) overshoots 2.3x with
+        # garbage Lambda.  1.2x splits them with margin on both sides.
+        if not isinstance(trKinvA, jax.core.Tracer):
+            tr_f = float(trKinvA)
+            sk_f = float(sKnn)
+            if not np.isfinite(tr_f) or tr_f > 1.2 * sk_f + 1e-6:
+                raise FactoredSolveInconsistency(
+                    f"tr(K^-1 A) = {tr_f:.4e} exceeds sum ivar Knn = "
+                    f"{sk_f:.4e}: the factor-column PCG solves are "
+                    "inconsistent at this conditioning (clamped spectrum / "
+                    "f32); use the 'gram' sweep solver or raise maxiter_cg"
+                )
+
+        z = None
+        if self.family == "full-rank":
+            bw = fns["whiten_bm"](state, bm, spec)
+            new_state = self.finalize_from_lam_b(state, lam, bw, None)
+        elif self.whitened_type == "cholesky":
+            mhat, z = fns["mean_stage"](state, A, bm)
+            new_state = self._state_from_lam_mhat(state, lam, mhat)
+        else:
+            mhat, z = fns["mean_stage"](spec, A, bm)
+            new_state = self._state_from_lam_mhat(state, lam, mhat)
+
+        if not compute_elbo:
+            return new_state
+
+        qm, qS = self.standard_params(new_state)
+        if z is not None:
+            v = z.reshape(-1)
+        elif self.whitened_type == "cholesky":
+            v = fns["v_of_qm"](state, qm)
+        else:
+            v = fns["v_of_qm"](spec, qm)
+
+        elbo = fns["elbo_stage"](
+            v, A, bm, sy2, sKnn, slog, trKinvA, lam, qm, qS
+        )
+        return new_state, elbo
+
+    def _factored_stage_fns(self, cfg):
+        """Memoized jitted stage functions for `_batch_solve_factored`.
+
+        Every stage is EXPLICITLY jitted with all traced values as
+        arguments: eager lax.scan/while_loop executions bypass the
+        persistent compilation cache, so the staged solve would otherwise
+        pay ~50 s of XLA compiles in every fresh process (measured at
+        3droad M=128^2); closure-captured arrays would embed as HLO
+        constants and defeat the cache across hyperparameter values; and
+        per-call `jax.jit` wrappers would re-trace + re-link on every
+        solve (measured ~4.7 s per call for the 16k Cholesky alone).
+        Memoizing the jitted callables on the model keeps in-process
+        repeat solves (ell_fit sweeps, per-epoch refits) at pure runtime
+        cost.  Staged (eager-between-stages) dispatch keeps the
+        watchdog-safe profile of prefer_eager_batch_solve.
+        """
+        cache = self.__dict__.setdefault("_factored_jit_cache", {})
+        if cfg in cache:
+            return cache[cfg]
+        (maxiter_cg, integrated_obs, semi_integrated_estimator,
+         semi_integrated_samps, mean_solver_maxiter, mean_solver_tol,
+         N) = cfg
+        dtype = self.dtype
+
+        def stats_sweep(state, xp, yp, w, keys, nsp):
+            def stats_of(carry, inp):
+                A, bm, sy2, sKnn, slog = carry
+                xb, yb, wb, kb, nsb = inp
+                Knm, Knn = self.make_grams(
+                    state, xb, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, kb,
+                )
+                yv = yb.reshape(-1)
+                ivar = wb / (nsb * nsb)
+                logs = jnp.log(nsb)
+                # HIGHEST: the TPU-default bf16 dot leaves A indefinite at
+                # scale (measured: the f32 Cholesky at 3droad M=128^2 NaNs
+                # on the DEFAULT-precision accumulation); one-time cost
+                A = A + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar,
+                                   precision=jax.lax.Precision.HIGHEST)
+                bm = bm + jnp.einsum("bi,b->i", Knm, ivar * yv,
+                                     precision=jax.lax.Precision.HIGHEST)
+                sy2 = sy2 + jnp.sum(ivar * yv * yv)
+                sKnn = sKnn + jnp.sum(ivar * Knn.reshape(-1))
+                slog = slog + jnp.sum(wb * (-logs - 0.5 * LN2PI))
+                return (A, bm, sy2, sKnn, slog), None
+
+            zero = jnp.asarray(0.0, dtype)
+            carry0 = (
+                jnp.zeros((self.M, self.M), dtype),
+                jnp.zeros((self.M,), dtype),
+                zero, zero, zero,
+            )
+            return jax.lax.scan(stats_of, carry0, (xp, yp, w, keys, nsp))[0]
+
+        def chol_at(A, e):
+            return jnp.linalg.cholesky(A + e * jnp.eye(self.M, dtype=dtype))
+
+        if self.whitened_type == "cholesky":
+
+            def g_stage(state, L_A):
+                Lk = self._kmm_chol(state)
+                G = jax.scipy.linalg.solve_triangular(Lk, L_A, lower=True).T
+                return self._lam_from_factor_rows(G), jnp.sum(G * G)
+
+            def mean_stage(state, A, bm):
+                Kmm = self.kernel(self.xinduce, self.xinduce,
+                                  self.kernel_params(state))
+                Kmm = Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype)
+                z = spd_solve(Kmm + A, bm)
+                return jnp.linalg.cholesky(Kmm).T @ z, z
+
+            def v_of_qm(state, qm):
+                # kn.m = Knm^T L^{-T} m  =>  v = L^{-T} qm
+                return jax.scipy.linalg.solve_triangular(
+                    self._kmm_chol(state).T, qm, lower=False
+                )
+
+        else:
+            cs = min(self.M, 2048)
+            nc = -(-self.M // cs)
+
+            def g_stage(spec, L_A):
+                Lt = L_A.T
+                if nc * cs != self.M:
+                    Lt = jnp.pad(Lt, ((0, nc * cs - self.M), (0, 0)))
+                Lt = Lt.reshape(nc, cs, self.M)
+                lam0 = jax.tree.map(
+                    jnp.zeros_like,
+                    self._lam_from_factor_rows(
+                        jnp.zeros((1, self.Mprime), dtype)
+                    ),
+                )
+
+                def gstep(carry, rows):
+                    lam_acc, tr_acc = carry
+                    Gc = whiten(spec, rows, maxiter=maxiter_cg)
+                    return (
+                        lam_acc + self._lam_from_factor_rows(Gc),
+                        tr_acc + jnp.sum(Gc * Gc),
+                    ), None
+
+                (lam, tr), _ = jax.lax.scan(
+                    gstep, (lam0, jnp.asarray(0.0, dtype)), Lt
+                )
+                return lam, tr
+
+            def mean_stage(spec, A, bm):
+                from ..ops import pcg as _pcg
+
+                def kpa_mv(v):
+                    return matmul_by_K(spec, v) + v @ A
+
+                z = _pcg(
+                    kpa_mv, bm[None, :],
+                    precond=lambda v: matmul_by_Cinv(spec, v),
+                    maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+                )[0]
+                return matmul_by_RT(spec, z), z
+
+            def v_of_qm(spec, qm):
+                from ..ops import inv_matmul as _inv_matmul
+
+                return _inv_matmul(
+                    spec, matmul_by_R(spec, qm[None, :]),
+                    maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+                )[0]
+
+        def whiten_bm(state, bm, spec):
+            return self.compute_kn(
+                state, bm[None, :], maxiter_cg=mean_solver_maxiter, spec=spec
+            )[0]
+
+        def elbo_stage(v, A, bm, sy2, sKnn, slog, trKinvA, lam, qm, qS):
+            quad = v @ (A @ v) - 2.0 * (v @ bm) + sy2
+            # sum_n ivar kn S kn = sum(S * (Lambda - I)), family-shaped
+            sSkn = jnp.sum(qS * lam)
+            total_an = -0.5 * (quad + sKnn - trKinvA + sSkn) + slog
+            return total_an / N - self.kl_to_prior(qm, qS) / self.N
+
+        fns = {
+            "stats_sweep": jax.jit(stats_sweep),
+            "chol_at": jax.jit(chol_at),
+            "g_stage": jax.jit(g_stage),
+            "mean_stage": jax.jit(mean_stage),
+            "v_of_qm": jax.jit(v_of_qm),
+            "whiten_bm": jax.jit(whiten_bm),
+            "elbo_stage": jax.jit(elbo_stage),
+        }
+        cache[cfg] = fns
+        return fns
+
     def batch_solve(
         self,
         state: HIPGPState,
@@ -645,6 +955,7 @@ class HIPGP:
         mean_solver: str = "dense",
         mean_solver_maxiter: int = 200,
         mean_solver_tol: float = 1e-8,
+        factor_jitter: Optional[float] = None,
     ):
         """Closed-form optimal q: accumulate (Lambda, b) over batches, then
         S = Lambda^{-1}, m = S b (`ziggy/hipgp.py:278-368`).
@@ -671,9 +982,15 @@ class HIPGP:
           with the circulant preconditioner.  This also sidesteps the
           truncated-PCG kn approximation in the mean (kn enters only
           Lambda/S): the mean is the exact optimum of the family.
+        * 'factored' pushes the same idea through Lambda and the ELBO too:
+          EVERYTHING is computed from (A, b_m) plus O(M) whitening solves,
+          so no per-data-point PCG happens at all — see
+          `_batch_solve_factored`.  O(M) solves instead of O(N); the method
+          of choice when N >> M (measured ~6x on the 3droad M=128^2
+          protocol, RESULTS.md).
 
-        Crossover on one 16 GB chip: 'dense' to M' ~ 16k, 'gram' to
-        M ~ 40k (A is M^2), 'cg' when M is huge but N x M' fits.
+        Crossover on one 16 GB chip: 'dense' to M' ~ 16k, 'gram'/'factored'
+        to M ~ 40k (A is M^2), 'cg' when M is huge but N x M' fits.
         """
         N = xobs.shape[0]
         y = yobs.reshape(-1)
@@ -702,6 +1019,29 @@ class HIPGP:
             key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, nb)
 
+        if mean_solver == "factored":
+            try:
+                return self._batch_solve_factored(
+                    state, spec, xp, yp, w, keys, nsp, N,
+                    maxiter_cg=maxiter_cg,
+                    integrated_obs=integrated_obs,
+                    semi_integrated_estimator=semi_integrated_estimator,
+                    semi_integrated_samps=semi_integrated_samps,
+                    mean_solver_maxiter=mean_solver_maxiter,
+                    mean_solver_tol=mean_solver_tol,
+                    compute_elbo=compute_elbo,
+                    factor_jitter=factor_jitter,
+                )
+            except FactoredSolveInconsistency as e:
+                import warnings
+
+                warnings.warn(
+                    f"factored batch solve failed its exactness check "
+                    f"({e}); falling back to the sweep-based 'gram' solver",
+                    RuntimeWarning,
+                )
+                mean_solver = "gram"
+
         def kn_of(xb, kb):
             Knm, Knn_diag = self.make_grams(
                 state, xb, integrated_obs, semi_integrated_estimator,
@@ -713,7 +1053,7 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg)
             return kn, Knn_diag
 
-        if mean_solver not in ("dense", "cg", "gram"):
+        if mean_solver not in ("dense", "cg", "gram", "factored"):
             raise ValueError(f"mean_solver={mean_solver!r}")
         need_big = self.family != "full-rank" and mean_solver == "dense"
         collect_kn = self.family != "full-rank" and mean_solver == "cg"
