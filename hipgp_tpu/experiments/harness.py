@@ -105,11 +105,31 @@ def make_model(
 
 def empirical_sig2_init(xobs: np.ndarray, yobs: np.ndarray) -> float:
     """Distance-slope regression init for the marginal variance
-    (`experiment_util.py:71-76`)."""
+    (`experiment_util.py:71-76`).
+
+    The reference formula degenerates when y has no |x| trend (slope ~ 0
+    squares to a near-zero prior variance, which collapses the posterior
+    mean to zero — observed sig2 = 1.5e-9 on the UK-housing surrogate
+    surface).  Clamp to a var(y)-relative range and warn, since var(y) is
+    the right scale when the regression is uninformative."""
     dobs = np.sqrt(np.sum(np.asarray(xobs) ** 2, axis=-1))
     y = np.asarray(yobs).reshape(-1, 1)
     slope, *_ = np.linalg.lstsq(dobs[:, None], y, rcond=None)
-    return float(slope[0, 0] ** 2)
+    sig2 = float(slope[0, 0] ** 2)
+    vy = float(np.var(np.asarray(yobs)))
+    lo, hi = 1e-3 * vy, 1e2 * vy
+    if not (lo <= sig2 <= hi):
+        import warnings
+
+        fallback = vy if vy > 0 else 1.0
+        warnings.warn(
+            f"empirical sig2 init {sig2:.3e} is degenerate relative to "
+            f"var(y) = {vy:.3e}; falling back to var(y) = {fallback:.3e} — "
+            "pass an explicit sig2_init to override",
+            RuntimeWarning,
+        )
+        return float(fallback)
+    return sig2
 
 
 def evaluate_and_save(
