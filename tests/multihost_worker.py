@@ -66,10 +66,38 @@ wg = multihost.global_row_weights(mesh, N)
 new = dp_batch_solve(model, state, xg, yg, sg, mesh, maxiter_cg=50,
                      row_weights=wg)
 
+# 3. multi-host MODEL-PARALLEL batch_solve: dp spans the two processes
+# (collectives ride DCN), the whitened state shards over each process's
+# local devices (grid axis on ICI).  Inputs are host-local replicated
+# arrays — the internal jit/shard_map commits them to the global mesh.
+from hipgp_tpu.parallel import mp_batch_solve
+
+ndev_local = ndev // nprocs
+mesh_mp = multihost.global_mesh(("dp", "grid"), shape=(nprocs, ndev_local))
+
+grids9 = [jnp.linspace(-1.0, 1.0, 9, dtype=jnp.float64)] * 2
+model_mp = HIPGP(SqExp(), grids9, num_obs=N, family="mean-field",
+                 ell_init=0.3, noise2_init=0.01, grid_shards=ndev_local)
+st_mp, mp_elbo = mp_batch_solve(
+    model_mp, model_mp.init_state(),
+    jnp.asarray(x_all), jnp.asarray(y_all), jnp.asarray(s_all), mesh_mp,
+    batch_size=64, maxiter_cg=50, mean_solver_maxiter=300,
+    mean_solver_tol=1e-12, compute_elbo=True,
+)
+
+from jax.experimental import multihost_utils
+
+# collective gather (must run on every process); coordinator persists
+t1_mp = np.asarray(multihost_utils.process_allgather(st_mp.theta1,
+                                                     tiled=True))
+t2_mp = np.asarray(multihost_utils.process_allgather(st_mp.theta2,
+                                                     tiled=True))
+
 if multihost.on_coordinator():
     # fully-addressable process-0 copy for the oracle comparison
     t1 = np.asarray(jax.device_get(new.theta1))
     t2 = np.asarray(jax.device_get(new.theta2))
     np.savez(os.path.join(outdir, "result.npz"), theta1=t1, theta2=t2,
-             ndev=ndev, nprocs=jax.process_count())
+             ndev=ndev, nprocs=jax.process_count(),
+             mp_theta1=t1_mp, mp_theta2=t2_mp, mp_elbo=float(mp_elbo))
 print(f"proc {pid} OK ({ndev} global devices)", flush=True)
