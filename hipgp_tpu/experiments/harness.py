@@ -522,9 +522,10 @@ def fit_predict_and_save(
                 semi_integrated_estimator=cfg.semi_integrated_estimator,
                 semi_integrated_samps=cfg.num_semi_mc_samples,
                 compute_elbo=True,
-                # mp has no dense M'^2 path; 'gram' maps through, anything
-                # else takes the sharded-kn CG mean solve
-                mean_solver=("gram" if mean_solver == "gram" else "cg"),
+                # mp has no dense M'^2 path; 'gram'/'factored' map through,
+                # anything else takes the sharded-kn CG mean solve
+                mean_solver=(mean_solver if mean_solver in ("gram", "factored")
+                             else "cg"),
             )
         elif parallel == "dp":
             from ..parallel import dp_batch_solve

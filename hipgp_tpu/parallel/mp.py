@@ -336,6 +336,144 @@ def _pad_rows(arrays, total, fills):
     return _pad_to(total, *arrays, fills=fills)
 
 
+def _factored_local(
+    model, info, gidx, mask, wgt, xb, yb, wb, nsb, kb, *,
+    params, ivar_of, local_lam, diag_of, bidx, binv, is_block,
+    integrated_obs, semi_integrated_estimator, semi_integrated_samps,
+    maxiter_cg, tol, mean_solver_maxiter, mean_solver_tol, factor_jitter,
+    compute_elbo, N, dp_axis, grid_axis, ndp, log_noise2,
+):
+    """Per-device body of the factored mp solve (inside shard_map).
+
+    Mirrors `models/hipgp.py:_batch_solve_factored` distributed: the data
+    sweep accumulates only (A, b_m, scalars) — no whitening PCG — psum'd
+    over dp; Lambda comes from grid-sharded whitening solves of the factor
+    rows of A = L_A L_A^T, with the rows split over dp and the per-shard
+    family-shaped Lambda psum'd back; the mean is the gram Woodbury solve;
+    the ELBO assembles in closed form.  Returns
+    (theta1_local, theta2_local, elbo, trKinvA, sKnn) — the last two feed
+    the post-hoc exactness guard in `mp_batch_solve`.
+    """
+    dtype = model.dtype
+    M = model.M
+
+    def stats_of(carry, inp):
+        A, bm, sy2, sKnn, slog = carry
+        xl, yl, wl, nsl, kl = inp
+        Knm = _full_knm(model, params, xl, integrated_obs,
+                        semi_integrated_estimator, semi_integrated_samps, kl)
+        yv = yl.reshape(-1)
+        ivar = ivar_of(wl, nsl)
+        logs = (jnp.log(nsl) if nsl is not None
+                else 0.5 * log_noise2 * jnp.ones_like(wl))
+        # HIGHEST, as in the single-device factored path: the default bf16
+        # dot leaves A indefinite at scale
+        A = A + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar,
+                           precision=jax.lax.Precision.HIGHEST)
+        bm = bm + jnp.einsum("bi,b->i", Knm, ivar * yv,
+                             precision=jax.lax.Precision.HIGHEST)
+        sy2 = sy2 + jnp.sum(ivar * yv * yv)
+        sKnn = sKnn + jnp.sum(ivar * diag_of(xl).reshape(-1))
+        slog = slog + jnp.sum(wl * (-logs - 0.5 * LN2PI))
+        return (A, bm, sy2, sKnn, slog), None
+
+    zero = jnp.zeros((), dtype)
+    carry0 = (jnp.zeros((M, M), dtype), jnp.zeros((M,), dtype),
+              zero, zero, zero)
+    carry0 = jax.lax.pcast(carry0, (dp_axis, grid_axis), to="varying")
+    if nsb is not None:
+        carry, _ = jax.lax.scan(stats_of, carry0, (xb, yb, wb, nsb, kb))
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, i: stats_of(c, (i[0], i[1], i[2], None, i[3])),
+            carry0, (xb, yb, wb, kb),
+        )
+    A, bm, sy2, sKnn, slog = jax.lax.psum(carry, dp_axis)
+
+    eps = factor_jitter * jnp.mean(jnp.diagonal(A))
+    L_A = jnp.linalg.cholesky(A + eps * jnp.eye(M, dtype=dtype))
+
+    # G sweep: whitening solves of the factor rows, rows split over dp
+    # (each dp shard solves its own slice concurrently), grid-sharded
+    # transforms within each solve; zero pad rows contribute exactly zero
+    idx, vmask = _local_orig_indices(model, info, gidx)
+    dpidx = jax.lax.axis_index(dp_axis)
+    rows_per_dp = -(-M // ndp)
+    cs = min(rows_per_dp, 512)
+    nc = -(-rows_per_dp // cs)
+    per_dp = nc * cs
+    Lt = L_A.T
+    total = ndp * per_dp
+    if total != M:
+        Lt = jnp.pad(Lt, ((0, total - M), (0, 0)))
+    rows_dp = jax.lax.dynamic_slice_in_dim(Lt, dpidx * per_dp, per_dp, 0)
+    rows_dp = rows_dp.reshape(nc, cs, M)
+
+    def gstep(carry, rows):
+        lam_acc, tr_acc = carry
+        emb = _local_embed_from_orig(rows, idx, vmask, dtype)
+        Gc = local_whiten(emb, wgt, info, grid_axis,
+                          maxiter=maxiter_cg, tol=tol, mask=mask)
+        ones = jnp.ones((cs,), dtype)
+        return (lam_acc + local_lam(ones, Gc),
+                tr_acc + jnp.sum(Gc * Gc)), None
+
+    bs = model.block_size if is_block else 0
+    nb_loc = bidx.shape[0] if is_block else 0
+    lam0 = (jnp.zeros((nb_loc, bs, bs), dtype) if is_block
+            else jnp.zeros((info.Mp_local,), dtype))
+    (lam_p, tr_p), _ = jax.lax.scan(gstep, (lam0, zero), rows_dp)
+    lam = jax.lax.psum(lam_p, dp_axis)
+    trKinvA = jax.lax.psum(jax.lax.psum(tr_p, grid_axis), dp_axis)
+
+    # mean: the gram Woodbury solve m = R (K + A)^{-1} b_m, PCG vectors
+    # (1, M) replicated over the whole mesh
+    def apply_w(v, w):
+        emb = _local_embed_from_orig(v, idx, vmask, dtype)
+        emb = emb.reshape((v.shape[0],) + info.local_shape)
+        out = local_circulant_apply(emb, w, info, grid_axis)
+        return _local_crop_psum(out.reshape(v.shape[0], -1),
+                                idx, vmask, M, grid_axis)
+
+    z = pcg(
+        lambda v: apply_w(v, wgt) + v @ A,
+        bm[None],
+        precond=lambda v: apply_w(v, 1.0 / wgt),
+        maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+    )
+    embz = _local_embed_from_orig(z, idx, vmask, dtype)
+    embz = embz.reshape((1,) + info.local_shape)
+    mhat = local_circulant_apply(
+        embz, jnp.sqrt(wgt), info, grid_axis
+    ).reshape(-1)
+
+    if is_block:
+        lam_I = lam + jnp.eye(bs, dtype=dtype)
+        if model.parameterization == "standard":
+            theta1, theta2 = mhat, spd_inverse(lam_I)
+        else:
+            theta1 = _local_block_mul(lam_I, mhat[None, :], bidx, binv)[0]
+            theta2 = -0.5 * lam_I
+    else:
+        lam_I = lam + 1.0
+        if model.parameterization == "standard":
+            theta1, theta2 = mhat, 1.0 / lam_I
+        else:
+            theta1, theta2 = mhat * lam_I, -0.5 * lam_I
+
+    if not compute_elbo:
+        return theta1, theta2, zero, trKinvA, sKnn
+
+    qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
+    zv = z.reshape(-1)
+    quad = zv @ (A @ zv) - 2.0 * (zv @ bm) + sy2
+    sSkn = jax.lax.psum(jnp.sum(qS * lam), grid_axis)
+    total_an = -0.5 * (quad + sKnn - trKinvA + sSkn) + slog
+    kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
+    elbo = total_an / N - kl / model.N
+    return theta1, theta2, elbo, trKinvA, sKnn
+
+
 def mp_batch_solve(
     model,
     state,
@@ -357,6 +495,7 @@ def mp_batch_solve(
     spectrum_mode: str = "host",
     dp_axis: str = "dp",
     grid_axis: str = "grid",
+    factor_jitter: Optional[float] = None,
 ):
     """Closed-form optimal q (mean-field/block) with M' sharded over ``grid_axis``
     and data rows over ``dp_axis`` (`ziggy/hipgp.py:278-368`, distributed).
@@ -377,6 +516,18 @@ def mp_batch_solve(
       O(M^2 + bsz x M'/n_grid), independent of N and M', so this is the
       path for M' beyond what the stacked-kn profile can hold.  The ELBO
       pass (if requested) recomputes kn batch-by-batch.
+    * 'factored' — the O(M)-solve collapse (`models/hipgp.py`
+      `_batch_solve_factored`, distributed): the data sweep accumulates
+      only (A, b_m, ELBO scalars) with NO whitening PCG at all; Lambda
+      comes from grid-sharded whitening solves of the M Cholesky-factor
+      columns of A, with the factor ROWS split over 'dp' (each dp shard
+      whitens M/n_dp rows concurrently) and the per-shard Lambda psum'd
+      over 'dp'; the mean is the gram Woodbury solve; the ELBO is
+      assembled in closed form from (z A z, ||G||_F^2, sum S (Lambda-I)).
+      The jitter on chol(A) is one-shot (the dtype-scaled default of the
+      single-device path — no escalation ladder inside shard_map); the
+      tr(K^{-1}A) <= sum ivar Knn exactness guard runs AFTER the jitted
+      solve and falls back to 'gram' with a RuntimeWarning on violation.
 
     ``spectrum_mode``: 'host' builds the full spectrum host-side and
     shards it ('round-2' behavior); 'sharded' builds it in-graph via
@@ -384,8 +535,10 @@ def mp_batch_solve(
     no device ever materializes all M' eigenvalues.
     """
     _check_model(model)
-    if mean_solver not in ("cg", "gram"):
-        raise ValueError(f"mean_solver={mean_solver!r}; choose 'cg' | 'gram'")
+    if mean_solver not in ("cg", "gram", "factored"):
+        raise ValueError(
+            f"mean_solver={mean_solver!r}; choose 'cg' | 'gram' | 'factored'"
+        )
     if spectrum_mode not in ("host", "sharded"):
         raise ValueError(f"spectrum_mode={spectrum_mode!r}")
     ndp = mesh.shape[dp_axis]
@@ -428,6 +581,11 @@ def mp_batch_solve(
 
     kfun = lambda a, b: model.kernel(a, b, params)
     use_gram = mean_solver == "gram"
+    use_factored = mean_solver == "factored"
+    if factor_jitter is None:
+        factor_jitter = (
+            1e-4 if np.dtype(dtype) == np.dtype(np.float32) else 1e-10
+        )
 
     def local_fn(log_noise2, xb, yb, wb, nsb, kb, wgt):
         gidx = jax.lax.axis_index(grid_axis)
@@ -456,6 +614,28 @@ def mp_batch_solve(
             )
             return local_whiten(knm, wgt, info, grid_axis,
                                 maxiter=maxiter_cg, tol=tol, mask=mask)
+
+        def diag_of(x_all):
+            if integrated_obs:
+                return model.diag_interp(x_all, params)
+            return model.kernel.diag(x_all, params)
+
+        if use_factored:
+            return _factored_local(
+                model, info, gidx, mask, wgt,
+                xb, yb, wb, (nsb if has_ns else None), kb,
+                params=params, ivar_of=ivar_of, local_lam=local_lam,
+                diag_of=diag_of, bidx=bidx, binv=binv, is_block=is_block,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                maxiter_cg=maxiter_cg, tol=tol,
+                mean_solver_maxiter=mean_solver_maxiter,
+                mean_solver_tol=mean_solver_tol,
+                factor_jitter=factor_jitter, compute_elbo=compute_elbo,
+                N=N, dp_axis=dp_axis, grid_axis=grid_axis, ndp=ndp,
+                log_noise2=log_noise2,
+            )
 
         def body(carry, inp):
             xl, yl, wl, nsl, kl = inp
@@ -557,14 +737,9 @@ def mp_batch_solve(
 
         if not compute_elbo:
             zero = jnp.zeros((), dtype)
-            return theta1, theta2, zero
+            return theta1, theta2, zero, zero, zero
 
         qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
-
-        def diag_of(x_all):
-            if integrated_obs:
-                return model.diag_interp(x_all, params)
-            return model.kernel.diag(x_all, params)
 
         def an_of(kn, x_all, y_all, ivar, nsl):
             knm_m = jax.lax.psum(kn @ qm, grid_axis)
@@ -610,7 +785,8 @@ def mp_batch_solve(
 
         kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
         elbo = total_an / N - kl / model.N
-        return theta1, theta2, elbo
+        zero = jnp.zeros((), dtype)
+        return theta1, theta2, elbo, zero, zero
 
     fn = shard_map(
         local_fn,
@@ -625,13 +801,40 @@ def mp_batch_solve(
             (weights_pspec(info, grid_axis) if spectrum_mode == "host"
              else P()),
         ),
-        out_specs=(P(grid_axis), P(grid_axis), P()),
+        out_specs=(P(grid_axis), P(grid_axis), P(), P(), P()),
         check_vma=False,
     )
-    theta1, theta2, elbo = jax.jit(fn)(
+    theta1, theta2, elbo, tr_g, sknn_g = jax.jit(fn)(
         state.log_noise2, x_p, y_p, w_p,
         ns_p if has_ns else jnp.zeros((), dtype), keys, w_host,
     )
+    if use_factored:
+        # post-hoc exactness guard (same identity + thresholds as the
+        # single-device path: tr(K^-1 A) <= sum ivar Knn up to 1.2x benign
+        # CG-roundoff margin); values are concrete here — on violation,
+        # warn and fall back to the sweep-based 'gram' solver
+        tr_f, sk_f = float(tr_g), float(sknn_g)
+        if not np.isfinite(tr_f) or tr_f > 1.2 * sk_f + 1e-6:
+            import warnings
+
+            warnings.warn(
+                f"mp factored solve failed its exactness check "
+                f"(tr(K^-1 A) = {tr_f:.4e} vs sum ivar Knn = {sk_f:.4e}); "
+                "falling back to the sweep-based 'gram' solver",
+                RuntimeWarning,
+            )
+            return mp_batch_solve(
+                model, state, xobs, yobs, noise_std, mesh,
+                batch_size=batch_size, maxiter_cg=maxiter_cg, tol=tol,
+                mean_solver_maxiter=mean_solver_maxiter,
+                mean_solver_tol=mean_solver_tol,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                key=key, compute_elbo=compute_elbo, mean_solver="gram",
+                spectrum_mode=spectrum_mode, dp_axis=dp_axis,
+                grid_axis=grid_axis,
+            )
     new_state = state.replace(theta1=theta1, theta2=theta2)
     if compute_elbo:
         return new_state, elbo

@@ -384,3 +384,95 @@ def test_mp_gram_integrated_obs():
                          mean_solver_tol=1e-12)
     np.testing.assert_allclose(np.asarray(got.theta1), np.asarray(ref.theta1),
                                rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# factored solver under grid sharding (O(M) whitening solves, RESULTS §13)
+# ---------------------------------------------------------------------------
+
+# mean_solver_maxiter 2000: at this conditioning the (K+A) PCG needs
+# ~1000+ iterations to converge past reduction-order sensitivity; once
+# converged, sharded and single-device theta1 agree to ~5e-8 (measured)
+FACTORED = dict(mean_solver="factored", mean_solver_maxiter=2000,
+                mean_solver_tol=1e-12, factor_jitter=1e-12)
+
+
+@pytest.mark.parametrize("ndp,ng", [(2, 4), (1, 8)])
+def test_mp_factored_matches_single_device(ndp, ng):
+    """The factored mp solve (A/b_m/scalars over dp, factor rows split over
+    dp, grid-sharded whitening per row chunk, closed-form ELBO) must match
+    the single-device factored batch_solve."""
+    x, y, s = _data(N=400)
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 11)] * 2, num_obs=len(x),
+                  family="mean-field", ell_init=0.15, noise2_init=0.01,
+                  grid_shards=ng, dtype=jnp.float64)
+    state = model.init_state()
+    ref_state, ref_elbo = model.batch_solve(
+        state, x, y, s, batch_size=100, maxiter_cg=50, compute_elbo=True,
+        **FACTORED,
+    )
+    mesh = _mesh(ndp, ng)
+    got_state, got_elbo = mp_batch_solve(
+        model, mp_shard_state(state, mesh), x, y, s, mesh,
+        batch_size=100, maxiter_cg=50, compute_elbo=True, **FACTORED,
+    )
+    np.testing.assert_allclose(np.asarray(got_state.theta1),
+                               np.asarray(ref_state.theta1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_state.theta2),
+                               np.asarray(ref_state.theta2),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(got_elbo), float(ref_elbo), rtol=1e-6)
+
+
+def test_mp_factored_block():
+    x, y, s = _data(N=400)
+    from hipgp_tpu.ops.bttb import embedded_dims
+    from hipgp_tpu.parallel.fft_sharded import shard_multiples
+
+    ng = 4
+    e0 = embedded_dims((11, 11), shard_multiples((11, 11), ng))[0]
+    model = _block_model(len(x), ng, (e0 // ng, 4))
+    state = model.init_state()
+    ref_state, ref_elbo = model.batch_solve(
+        state, x, y, s, batch_size=100, maxiter_cg=50, compute_elbo=True,
+        **FACTORED,
+    )
+    mesh = _mesh(2, ng)
+    got_state, got_elbo = mp_batch_solve(
+        model, mp_shard_state(state, mesh), x, y, s, mesh,
+        batch_size=100, maxiter_cg=50, compute_elbo=True, **FACTORED,
+    )
+    np.testing.assert_allclose(np.asarray(got_state.theta1),
+                               np.asarray(ref_state.theta1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_state.theta2),
+                               np.asarray(ref_state.theta2),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(got_elbo), float(ref_elbo), rtol=1e-6)
+
+
+def test_mp_factored_guard_falls_back():
+    """f32 + heavily clamped spectrum: the post-hoc exactness guard must
+    detect the factor-column PCG breakdown and fall back to 'gram'."""
+    rng = np.random.default_rng(3)
+    N = 512
+    x32 = jnp.asarray(rng.uniform(0.05, 0.95, (N, 2)), jnp.float32)
+    y32 = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    s32 = jnp.full((N,), 0.1, jnp.float32)
+    ng = 4
+    # ell = 2.5 grid spacings on a 33-point grid (edims 64): the heavily
+    # clamped spectrum that breaks the rough-RHS PCG (RESULTS section 13)
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 33, dtype=jnp.float32)] * 2,
+                  num_obs=N, family="mean-field", ell_init=0.08,
+                  noise2_init=0.01, grid_shards=ng, dtype=jnp.float32)
+    mesh = _mesh(2, ng)
+    st0 = mp_shard_state(model.init_state(), mesh)
+    with pytest.warns(RuntimeWarning, match="exactness check"):
+        st_f = mp_batch_solve(model, st0, x32, y32, s32, mesh,
+                              batch_size=128, maxiter_cg=30,
+                              mean_solver="factored")
+    st_g = mp_batch_solve(model, st0, x32, y32, s32, mesh,
+                          batch_size=128, maxiter_cg=30, mean_solver="gram")
+    np.testing.assert_allclose(np.asarray(st_f.theta2),
+                               np.asarray(st_g.theta2), rtol=1e-6)
