@@ -237,11 +237,23 @@ class HIPGP:
     # ------------------------------------------------------------------
 
     def spectrum(self, state: HIPGPState, transform: str = "fft") -> BTTBSpectrum:
-        params = self.kernel_params(state)
-        kfun = lambda x, y: self.kernel(x, y, params)
-        return make_spectrum(self.xgrids, kfun, jitter=self.jitter,
-                             multiple_of=self._spec_multiple,
-                             transform=transform)
+        # memoized jitted builder: the eager build compiles outside the
+        # persistent compilation cache (~13 s per fresh process at the
+        # paper 125^2 shape, measured); one jitted program per transform
+        # mode caches across processes and reuses in-process executables
+        cache = self.__dict__.setdefault("_spectrum_jit_cache", {})
+        if transform not in cache:
+
+            def build(st):
+                p = (jnp.exp(st.log_sig2), jnp.exp(st.log_ell))
+                return make_spectrum(
+                    self.xgrids, lambda x, y: self.kernel(x, y, p),
+                    jitter=self.jitter, multiple_of=self._spec_multiple,
+                    transform=transform,
+                )
+
+            cache[transform] = jax.jit(build)
+        return cache[transform](state)
 
     def _kmm_chol(self, state: HIPGPState) -> jnp.ndarray:
         params = self.kernel_params(state)
@@ -690,6 +702,32 @@ class HIPGP:
         """
         dtype = self.dtype
         zero = jnp.asarray(0.0, dtype)
+
+        # Pre-check (f32 + circulant whitening, eager): the f32 Cholesky
+        # factor of A cannot represent A's small-eigenvalue tail (it decays
+        # like the kernel spectrum, far below f32 entrywise noise), and W
+        # amplifies exactly that tail into Lambda.  Measured at a
+        # kappa = 4.1e3 oracle config (RESULTS section 13): f32 factored
+        # theta2 is 0.18 max-rel off the f64 truth and the ELBO inflates by
+        # 0.21, while the smooth-RHS sweep solvers sit at 4e-4 / 6e-5; the
+        # error is DETERMINISTIC — independent of PCG iterations and of
+        # transform precision (HIGH vs HIGHEST), so it cannot be iterated
+        # away.  UK housing (kappa 4.0e2) measures clean.  Trust region:
+        # kappa <= 1e3 in f32.  f64 resolves the tail (~1e9 lower noise);
+        # the post-hoc checks govern there.
+        if (
+            spec is not None
+            and np.dtype(dtype) == np.dtype(np.float32)
+            and not isinstance(spec.eigs, jax.core.Tracer)
+        ):
+            kap = float(jnp.max(spec.eigs) / jnp.min(spec.eigs))
+            if kap > 1e3:
+                raise FactoredSolveInconsistency(
+                    f"spectrum dynamic range {kap:.2e} exceeds the measured "
+                    "f32 trust region (1e3): the f32 factor of A cannot "
+                    "resolve the spectral tail that Lambda needs"
+                )
+
         if nsp is None:
             # homoscedastic: ivar = w exp(-log_noise2) and log s_n =
             # log_noise2 / 2 are exactly the heteroscedastic formulas
@@ -781,6 +819,22 @@ class HIPGP:
             v = fns["v_of_qm"](state, qm)
         else:
             v = fns["v_of_qm"](spec, qm)
+
+        # second post-check: the aggregate variance bracket
+        # sum ivar (Knn - kn.kn + kn S kn) = sKnn - tr(K^-1 A) + sum(S*lam)
+        # is a sum of nonnegative per-point terms — a negative value means
+        # the ELBO identities broke below the 1.2x tr threshold (observed:
+        # an inflated ELBO of +5.0 vs the sweep's -0.98 slipped through
+        # the tr check alone at kappa = 1.3e4)
+        sSkn = jnp.sum(qS * lam)
+        if not isinstance(sSkn, jax.core.Tracer):
+            bracket = float(sKnn) - float(trKinvA) + float(sSkn)
+            if bracket < -1e-3 * float(sKnn):
+                raise FactoredSolveInconsistency(
+                    f"aggregate variance bracket {bracket:.4e} is negative "
+                    f"(sKnn {float(sKnn):.4e}, tr {float(trKinvA):.4e}): "
+                    "the closed-form ELBO is invalid at this conditioning"
+                )
 
         elbo = fns["elbo_stage"](
             v, A, bm, sy2, sKnn, slog, trKinvA, lam, qm, qS
@@ -939,6 +993,139 @@ class HIPGP:
         cache[cfg] = fns
         return fns
 
+    def _gram_stage_fns(self, cfg):
+        """Memoized jitted stages for the one-sweep 'gram' solver — same
+        staging rationale as `_factored_stage_fns` (persistent-cache-able
+        compiles, no constant-embedding, no per-call re-linking)."""
+        cache = self.__dict__.setdefault("_gram_jit_cache", {})
+        if cfg in cache:
+            return cache[cfg]
+        (maxiter_cg, integrated_obs, semi_integrated_estimator,
+         semi_integrated_samps, mean_solver_maxiter, mean_solver_tol,
+         N) = cfg
+        dtype = self.dtype
+
+        def sweep(state, spec, xp, yp, w, keys, nsp):
+            def body(carry, inp):
+                lam, A, bm, sy2, sKnn, sknkn, slog = carry
+                xb, yb, wb, kb, nsb = inp
+                Knm, Knn = self.make_grams(
+                    state, xb, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, kb,
+                )
+                kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg,
+                                     spec=spec)
+                yv = yb.reshape(-1)
+                ivar = wb / (nsb * nsb)
+                logs = jnp.log(nsb)
+                lam = lam + self.get_lam(ivar, kn, bscale=1.0,
+                                         add_identity=False)
+                # HIGHEST: the bf16-default dot degrades the Woodbury mean
+                # (measured at 3droad: post-RMSE 0.032 -> 0.025 with an
+                # accurately accumulated A)
+                A = A + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar,
+                                   precision=jax.lax.Precision.HIGHEST)
+                bm = bm + jnp.einsum("bi,b->i", Knm, ivar * yv,
+                                     precision=jax.lax.Precision.HIGHEST)
+                sy2 = sy2 + jnp.sum(ivar * yv * yv)
+                sKnn = sKnn + jnp.sum(ivar * Knn.reshape(-1))
+                sknkn = sknkn + jnp.sum(ivar * jnp.sum(kn * kn, axis=-1))
+                slog = slog + jnp.sum(wb * (-logs - 0.5 * LN2PI))
+                return (lam, A, bm, sy2, sKnn, sknkn, slog), None
+
+            zero = jnp.asarray(0.0, dtype)
+            lam0 = jax.tree.map(
+                jnp.zeros_like,
+                self.get_lam(jnp.zeros((1,), dtype),
+                             jnp.zeros((1, self.Mprime), dtype),
+                             add_identity=False),
+            )
+            carry0 = (lam0, jnp.zeros((self.M, self.M), dtype),
+                      jnp.zeros((self.M,), dtype), zero, zero, zero, zero)
+            return jax.lax.scan(body, carry0, (xp, yp, w, keys, nsp))[0]
+
+        if self.whitened_type == "cholesky":
+
+            def mean_stage(state, A, bm):
+                Kmm = self.kernel(self.xinduce, self.xinduce,
+                                  self.kernel_params(state))
+                Kmm = Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype)
+                z = spd_solve(Kmm + A, bm)
+                return jnp.linalg.cholesky(Kmm).T @ z, z
+
+        else:
+
+            def mean_stage(spec, A, bm):
+                from ..ops import pcg as _pcg
+
+                def kpa_mv(v):
+                    return matmul_by_K(spec, v) + v @ A
+
+                z = _pcg(
+                    kpa_mv, bm[None, :],
+                    precond=lambda v: matmul_by_Cinv(spec, v),
+                    maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+                )[0]
+                return matmul_by_RT(spec, z), z
+
+        def elbo_stage(z, A, bm, sy2, sKnn, sknkn, slog, lam, qm, qS):
+            # kn.m = Knm (K+A)^{-1} b_m exactly (R R^T = K), so the data
+            # quadratic collapses onto (A, b_m, z); kn.kn and kn S kn come
+            # from the SWEPT kn — reference-consistent truncation
+            zv = z.reshape(-1)
+            quad = zv @ (A @ zv) - 2.0 * (zv @ bm) + sy2
+            sSkn = jnp.sum(qS * lam)
+            total_an = -0.5 * (quad + sKnn - sknkn + sSkn) + slog
+            return total_an / N - self.kl_to_prior(qm, qS) / self.N
+
+        fns = {
+            "sweep": jax.jit(sweep),
+            "mean_stage": jax.jit(mean_stage),
+            "elbo_stage": jax.jit(elbo_stage),
+        }
+        cache[cfg] = fns
+        return fns
+
+    def _batch_solve_gram(
+        self, state, spec, xp, yp, w, keys, nsp, N, *,
+        maxiter_cg, integrated_obs, semi_integrated_estimator,
+        semi_integrated_samps, mean_solver_maxiter, mean_solver_tol,
+        compute_elbo,
+    ):
+        """One-sweep 'gram' solver (mean-field/block).
+
+        Round-3 rework of the original two-sweep gram path: the single data
+        sweep computes per-point kn (Lambda keeps the reference's per-point
+        truncation semantics — unlike 'factored', this is f32-robust at any
+        conditioning) AND accumulates (A, b_m) for the Woodbury mean plus
+        the ELBO scalars, so the second ELBO sweep of
+        `ziggy/hipgp.py:347-368` disappears: sum ivar kn.kn and
+        sum ivar kn S kn = sum(S * Lambda_data) are pass-1 accumulables,
+        and the data quadratic collapses onto (A, b_m, z).  Halves the
+        dominant cost.  Stages are memoized-jitted (`_gram_stage_fns`).
+        """
+        dtype = self.dtype
+        if nsp is None:
+            nsp = jnp.exp(0.5 * state.log_noise2) * jnp.ones_like(w)
+        fns = self._gram_stage_fns(
+            (maxiter_cg, integrated_obs, semi_integrated_estimator,
+             semi_integrated_samps, mean_solver_maxiter, mean_solver_tol, N)
+        )
+        lam, A, bm, sy2, sKnn, sknkn, slog = fns["sweep"](
+            state, spec, xp, yp, w, keys, nsp
+        )
+        if self.whitened_type == "cholesky":
+            mhat, z = fns["mean_stage"](state, A, bm)
+        else:
+            mhat, z = fns["mean_stage"](spec, A, bm)
+        new_state = self._state_from_lam_mhat(state, lam, mhat)
+        if not compute_elbo:
+            return new_state
+        qm, qS = self.standard_params(new_state)
+        elbo = fns["elbo_stage"](z, A, bm, sy2, sKnn, sknkn, slog, lam,
+                                 qm, qS)
+        return new_state, elbo
+
     def batch_solve(
         self,
         state: HIPGPState,
@@ -1042,6 +1229,18 @@ class HIPGP:
                 )
                 mean_solver = "gram"
 
+        if mean_solver == "gram" and self.family != "full-rank":
+            return self._batch_solve_gram(
+                state, spec, xp, yp, w, keys, nsp, N,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                mean_solver_maxiter=mean_solver_maxiter,
+                mean_solver_tol=mean_solver_tol,
+                compute_elbo=compute_elbo,
+            )
+
         def kn_of(xb, kb):
             Knm, Knn_diag = self.make_grams(
                 state, xb, integrated_obs, semi_integrated_estimator,
@@ -1057,7 +1256,6 @@ class HIPGP:
             raise ValueError(f"mean_solver={mean_solver!r}")
         need_big = self.family != "full-rank" and mean_solver == "dense"
         collect_kn = self.family != "full-rank" and mean_solver == "cg"
-        collect_gram = self.family != "full-rank" and mean_solver == "gram"
 
         def ivar_of(wb, nsb):
             if nsb is not None:
@@ -1065,12 +1263,11 @@ class HIPGP:
             return wb * jnp.exp(-state.log_noise2)
 
         def accum(carry, inp):
-            lam_acc, b_acc, big_acc, A_acc, bm_acc = carry
+            lam_acc, b_acc, big_acc = carry
             xb, yb, wb, kb, nsb = inp
             ivar = ivar_of(wb, nsb)
-            if collect_kn or collect_gram:
-                # keep kn / the M-space data Gram: the dense M' x M' Lambda
-                # is never materialized
+            if collect_kn:
+                # keep kn: the dense M' x M' Lambda is never materialized
                 Knm, _ = self.make_grams(
                     state, xb, integrated_obs, semi_integrated_estimator,
                     semi_integrated_samps, kb,
@@ -1078,12 +1275,7 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg, spec=spec)
                 lam = self.get_lam(ivar, kn, bscale=1.0, add_identity=False)
                 b = kn.T @ (ivar * yb.reshape(-1))
-                if collect_gram:
-                    A_acc = A_acc + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar)
-                    bm_acc = bm_acc + Knm.T @ (ivar * yb.reshape(-1))
-                    out = None
-                else:
-                    out = (kn, ivar)
+                out = (kn, ivar)
             else:
                 lam, b, big = self.accumulate_lam_b(
                     state, xb, yb, ivar,
@@ -1099,7 +1291,7 @@ class HIPGP:
                 out = None
             lam_acc = lam_acc + lam
             b_acc = b_acc + b
-            return (lam_acc, b_acc, big_acc, A_acc, bm_acc), out
+            return (lam_acc, b_acc, big_acc), out
 
         lam0 = jax.tree.map(
             jnp.zeros_like,
@@ -1111,20 +1303,14 @@ class HIPGP:
             if need_big
             else jnp.zeros((1, 1), self.dtype)
         )
-        A0 = (
-            jnp.zeros((self.M, self.M), self.dtype)
-            if collect_gram
-            else jnp.zeros((1, 1), self.dtype)
-        )
-        bm0 = jnp.zeros((self.M if collect_gram else 1,), self.dtype)
         if nsp is None:
-            (lam, b, big, A, bm), kn_stack = jax.lax.scan(
+            (lam, b, big), kn_stack = jax.lax.scan(
                 lambda c, i: accum(c, (*i, None)),
-                (lam0, b0, big0, A0, bm0), (xp, yp, w, keys),
+                (lam0, b0, big0), (xp, yp, w, keys),
             )
         else:
-            (lam, b, big, A, bm), kn_stack = jax.lax.scan(
-                accum, (lam0, b0, big0, A0, bm0), (xp, yp, w, keys, nsp)
+            (lam, b, big), kn_stack = jax.lax.scan(
+                accum, (lam0, b0, big0), (xp, yp, w, keys, nsp)
             )
 
         if collect_kn:
@@ -1142,26 +1328,6 @@ class HIPGP:
                 big_mv_flat, b[None, :], maxiter=mean_solver_maxiter,
                 tol=mean_solver_tol,
             )[0]
-            new_state = self._state_from_lam_mhat(state, lam, mhat)
-        elif collect_gram:
-            from ..ops import pcg as _pcg
-
-            if self.whitened_type == "cholesky":
-                params = self.kernel_params(state)
-                Kmm = self.kernel(self.xinduce, self.xinduce, params)
-                Kmm = Kmm + self.jitter * jnp.eye(self.M, dtype=Kmm.dtype)
-                z = spd_solve(Kmm + A, bm)
-                mhat = jnp.linalg.cholesky(Kmm).T @ z
-            else:
-                def kpa_mv(v):
-                    return matmul_by_K(spec, v) + v @ A
-
-                z = _pcg(
-                    kpa_mv, bm[None, :],
-                    precond=lambda v: matmul_by_Cinv(spec, v),
-                    maxiter=mean_solver_maxiter, tol=mean_solver_tol,
-                )[0]
-                mhat = matmul_by_RT(spec, z)
             new_state = self._state_from_lam_mhat(state, lam, mhat)
         else:
             new_state = self.finalize_from_lam_b(

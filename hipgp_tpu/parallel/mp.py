@@ -462,7 +462,7 @@ def _factored_local(
             theta1, theta2 = mhat * lam_I, -0.5 * lam_I
 
     if not compute_elbo:
-        return theta1, theta2, zero, trKinvA, sKnn
+        return theta1, theta2, zero, trKinvA, sKnn, zero
 
     qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
     zv = z.reshape(-1)
@@ -471,7 +471,7 @@ def _factored_local(
     total_an = -0.5 * (quad + sKnn - trKinvA + sSkn) + slog
     kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
     elbo = total_an / N - kl / model.N
-    return theta1, theta2, elbo, trKinvA, sKnn
+    return theta1, theta2, elbo, trKinvA, sKnn, sSkn
 
 
 def mp_batch_solve(
@@ -547,6 +547,26 @@ def mp_batch_solve(
         spec = model.spectrum(state)
         info = GridShardInfo(spec, ng)
         w_host = host_weights(spec, info)
+        if (
+            mean_solver == "factored"
+            and np.dtype(model.dtype) == np.dtype(np.float32)
+            and not isinstance(spec.eigs, jax.core.Tracer)
+        ):
+            # same f32 trust-region pre-check as the single-device factored
+            # path (models/hipgp.py: the f32 factor of A cannot resolve the
+            # spectral tail beyond kappa ~ 1e3 — measured theta2 error 0.18
+            # at kappa 4.1e3, deterministic)
+            kap = float(jnp.max(spec.eigs) / jnp.min(spec.eigs))
+            if kap > 1e3:
+                import warnings
+
+                warnings.warn(
+                    "mp factored solve declined: spectrum dynamic range "
+                    f"{kap:.2e} exceeds the measured f32 trust region "
+                    "(1e3); falling back to the sweep-based 'gram' solver",
+                    RuntimeWarning,
+                )
+                mean_solver = "gram"
     else:
         info = _static_shard_info(model, ng)
         w_host = jnp.zeros((), model.dtype)  # dummy; built per-shard in-graph
@@ -642,13 +662,25 @@ def mp_batch_solve(
             ivar = ivar_of(wl, nsl)
             kn = local_kn(xl, kl)
             if use_gram:
-                lam_a, A_a, bm_a = carry
+                lam_a, A_a, bm_a, sy2, sKnnA, sknknA, slogA = carry
                 Knm = _full_knm(model, params, xl, integrated_obs,
                                 semi_integrated_estimator,
                                 semi_integrated_samps, kl)
-                A_a = A_a + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar)
-                bm_a = bm_a + Knm.T @ (ivar * yl)
-                return (lam_a + local_lam(ivar, kn), A_a, bm_a), None
+                # HIGHEST, matching the single-device gram sweep: the bf16
+                # default degrades the Woodbury mean through A
+                A_a = A_a + jnp.einsum("bi,bj,b->ij", Knm, Knm, ivar,
+                                       precision=jax.lax.Precision.HIGHEST)
+                bm_a = bm_a + jnp.einsum("bi,b->i", Knm, ivar * yl,
+                                         precision=jax.lax.Precision.HIGHEST)
+                sy2 = sy2 + jnp.sum(ivar * yl * yl)
+                sKnnA = sKnnA + jnp.sum(ivar * diag_of(xl).reshape(-1))
+                # grid-partial: kn is this shard's M'/n_grid slice
+                sknknA = sknknA + jnp.sum(ivar * jnp.sum(kn * kn, axis=-1))
+                logs = (jnp.log(nsl) if nsl is not None
+                        else 0.5 * log_noise2 * jnp.ones_like(wl))
+                slogA = slogA + jnp.sum(wl * (-logs - 0.5 * LN2PI))
+                return (lam_a + local_lam(ivar, kn), A_a, bm_a,
+                        sy2, sKnnA, sknknA, slogA), None
             lam_a, b_a = carry
             lam_a = lam_a + local_lam(ivar, kn)
             b_a = b_a + kn.T @ (ivar * yl)
@@ -659,9 +691,11 @@ def mp_batch_solve(
             jnp.zeros((nb_loc, bs, bs), dtype) if is_block
             else jnp.zeros((Mp_loc,), dtype)
         )
+        zscal = jnp.zeros((), dtype)
         if use_gram:
             carry0 = (lam0, jnp.zeros((model.M, model.M), dtype),
-                      jnp.zeros((model.M,), dtype))
+                      jnp.zeros((model.M,), dtype),
+                      zscal, zscal, zscal, zscal)
         else:
             carry0 = (lam0, jnp.zeros((Mp_loc,), dtype))
         carry0 = jax.lax.pcast(carry0, (dp_axis, grid_axis), to="varying")
@@ -674,7 +708,8 @@ def mp_batch_solve(
             )
         # information-form sums are over ALL data: reduce over dp
         if use_gram:
-            lam, A, bm = jax.lax.psum(carry, dp_axis)
+            lam, A, bm, sy2, sKnn, sknkn_p, slog = jax.lax.psum(carry, dp_axis)
+            sknkn = jax.lax.psum(sknkn_p, grid_axis)
         else:
             (lam, b) = jax.lax.psum(carry, dp_axis)
             kn_stack, ivar_stack = ys
@@ -737,7 +772,7 @@ def mp_batch_solve(
 
         if not compute_elbo:
             zero = jnp.zeros((), dtype)
-            return theta1, theta2, zero, zero, zero
+            return theta1, theta2, zero, zero, zero, zero
 
         qm, qS = _local_standard_params(model, theta1, theta2, bidx, binv)
 
@@ -755,26 +790,14 @@ def mp_batch_solve(
             )
 
         if use_gram:
-            # no kn stack was kept: recompute kn batch-by-batch (the
-            # reference's second ELBO sweep, `ziggy/hipgp.py:347-368`)
-            def elbo_body(acc, inp):
-                xl, yl, wl, nsl, kl = inp
-                ivar = ivar_of(wl, nsl)
-                kn = local_kn(xl, kl)
-                an = an_of(kn, xl, yl.reshape(-1), ivar, nsl)
-                return acc + jnp.sum(an * wl), None
-
-            acc0 = jax.lax.pcast(jnp.zeros((), dtype),
-                                 (dp_axis, grid_axis), to="varying")
-            if has_ns:
-                total_an, _ = jax.lax.scan(elbo_body, acc0,
-                                           (xb, yb, wb, nsb, kb))
-            else:
-                total_an, _ = jax.lax.scan(
-                    lambda c, i: elbo_body(c, (i[0], i[1], i[2], None, i[3])),
-                    acc0, (xb, yb, wb, kb),
-                )
-            total_an = jax.lax.psum(total_an, dp_axis)
+            # one-sweep closed form (matching the single-device gram
+            # rework): the data quadratic collapses onto (A, b_m, z); kn.kn
+            # and kn S kn come from the SWEPT kn accumulated in pass 1 —
+            # reference-consistent truncation, no second whitening sweep
+            zv = z.reshape(-1)
+            quad = zv @ (A @ zv) - 2.0 * (zv @ bm) + sy2
+            sSkn = jax.lax.psum(jnp.sum(qS * lam), grid_axis)
+            total_an = -0.5 * (quad + sKnn - sknkn + sSkn) + slog
         else:
             y_all = yb.reshape(-1)
             w_all = wb.reshape(-1)
@@ -786,7 +809,7 @@ def mp_batch_solve(
         kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
         elbo = total_an / N - kl / model.N
         zero = jnp.zeros((), dtype)
-        return theta1, theta2, elbo, zero, zero
+        return theta1, theta2, elbo, zero, zero, zero
 
     fn = shard_map(
         local_fn,
@@ -801,10 +824,10 @@ def mp_batch_solve(
             (weights_pspec(info, grid_axis) if spectrum_mode == "host"
              else P()),
         ),
-        out_specs=(P(grid_axis), P(grid_axis), P(), P(), P()),
+        out_specs=(P(grid_axis), P(grid_axis), P(), P(), P(), P()),
         check_vma=False,
     )
-    theta1, theta2, elbo, tr_g, sknn_g = jax.jit(fn)(
+    theta1, theta2, elbo, tr_g, sknn_g, sskn_g = jax.jit(fn)(
         state.log_noise2, x_p, y_p, w_p,
         ns_p if has_ns else jnp.zeros((), dtype), keys, w_host,
     )
@@ -814,7 +837,10 @@ def mp_batch_solve(
         # CG-roundoff margin); values are concrete here — on violation,
         # warn and fall back to the sweep-based 'gram' solver
         tr_f, sk_f = float(tr_g), float(sknn_g)
-        if not np.isfinite(tr_f) or tr_f > 1.2 * sk_f + 1e-6:
+        bracket_bad = compute_elbo and (
+            sk_f - tr_f + float(sskn_g) < -1e-3 * sk_f
+        )
+        if not np.isfinite(tr_f) or tr_f > 1.2 * sk_f + 1e-6 or bracket_bad:
             import warnings
 
             warnings.warn(
