@@ -35,6 +35,8 @@ Prints ONE JSON line.  Fields beyond the driver contract
   oracles) for the three measured v5e cliffs encoded in `ops/bttb.py`:
   the MXU matmul-basis transform, the long-axis packed-FFT path, and the
   batched-FFT corruption guard (FFT_SAFE_BATCH chunking) — plus
+  ``gram_on_chip_rel``: the one-sweep gram solver (closed-form ELBO,
+  HIGHEST data-Gram accumulation) against the dense reference path, and
   ``mp_on_chip_rel``: a 1x1 dp x grid mesh `mp_batch_solve` executed on
   the REAL chip against the single-device solver (the sharded code path's
   Mosaic/collective lowering, not just the CPU-mesh tests).  An XLA
@@ -119,11 +121,39 @@ def run_guards(jax, jnp):
     spec3 = check("fft_2d_chunked_b1000_rel", (300, 5), 1000)
     assert max(spec3.edims) > 512, spec3.edims  # really on the FFT path
     guards["fft_safe_batch"] = FFT_SAFE_BATCH
+    guards["gram_on_chip_rel"] = _gram_on_chip_rel(jax, jnp)
     guards["mp_on_chip_rel"] = _mp_on_chip_rel(jax, jnp)
     guards["all_pass"] = bool(
         all(v < GUARD_RTOL for k, v in guards.items() if k.endswith("_rel"))
     )
     return guards
+
+
+def _gram_on_chip_rel(jax, jnp):
+    """One-sweep gram solver vs the dense reference path ON THE REAL CHIP:
+    theta2 must agree (same per-point kn truncation) and the closed-form
+    ELBO must match the dense path's swept ELBO (RESULTS section 13)."""
+    from hipgp_tpu.kernels import SqExp
+    from hipgp_tpu.models import HIPGP
+
+    rng = np.random.default_rng(5)
+    N = 512
+    x = jnp.asarray(rng.uniform(0.0, 1.0, (N, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.1, 0.3, (N,)), jnp.float32)
+    model = HIPGP(SqExp(), [jnp.linspace(0.0, 1.0, 12, dtype=jnp.float32)] * 2,
+                  num_obs=N, family="mean-field", ell_init=0.1,
+                  noise2_init=0.04, dtype=jnp.float32)
+    st0 = model.init_state()
+    st_d, e_d = model.batch_solve(st0, x, y, s, batch_size=128, maxiter_cg=60,
+                                  compute_elbo=True, mean_solver="dense")
+    st_g, e_g = model.batch_solve(st0, x, y, s, batch_size=128, maxiter_cg=60,
+                                  compute_elbo=True, mean_solver="gram",
+                                  mean_solver_maxiter=400)
+    t2 = float(jnp.max(jnp.abs(st_g.theta2 - st_d.theta2))
+               / jnp.max(jnp.abs(st_d.theta2)))
+    eb = abs(float(e_g) - float(e_d)) / max(1.0, abs(float(e_d)))
+    return max(t2, eb)
 
 
 def _mp_on_chip_rel(jax, jnp):
