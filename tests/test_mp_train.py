@@ -207,8 +207,12 @@ def test_mp_block_natgrad_trajectory_matches_single_device():
     assert _rel(st_mp.theta1, st_ref.theta1) < 1e-5
     assert _rel(st_mp.theta2, st_ref.theta2) < 1e-5
     xq, _, _ = _data(N=64, seed=7)
-    mu_ref, sig_ref = model.predict(st_ref, xq, maxiter_cg=30)
-    mu, sig = mp_predict(model, st_mp, xq, mesh, maxiter_cg=30)
+    # predict-time PCG must be CONVERGED for this comparison: truncated
+    # iterates differ between sharded and single-device reduction orders,
+    # and sig^2 amplifies that where Knn - kn.kn nearly cancels (CLAUDE.md
+    # solver-variant comparison rule)
+    mu_ref, sig_ref = model.predict(st_ref, xq, maxiter_cg=300)
+    mu, sig = mp_predict(model, st_mp, xq, mesh, maxiter_cg=300)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
                                rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
