@@ -139,9 +139,14 @@ def sph_deposit(
     # window must cover support radius 2h in cells MEASURED FROM THE
     # PARTICLE, which sits up to one cell past its floor-biased base-cell
     # center — budget one extra cell per side both in the h clip and in the
-    # window size, or upper-cell particles lose kernel-tail contributions
-    max_h = float(cell.min()) * ((max_window - 1) // 2 - 1) / 2.0
-    hs = np.minimum(hs, max_h)
+    # window size, or upper-cell particles lose kernel-tail contributions.
+    # Floor the clip at a quarter cell: max_window <= 4 would otherwise
+    # drive max_h to 0 and the r/h, 1/h^3 kernel terms to NaN (tiny windows
+    # then degrade to nearest-cells deposition with a documented tail loss,
+    # they do not blow up).  The same floor keeps h=0 input particles
+    # finite — they deposit like narrow blobs instead of vanishing.
+    max_h = float(cell.min()) * max(((max_window - 1) // 2 - 1) / 2.0, 0.25)
+    hs = np.clip(hs, float(cell.min()) * 0.25, max_h)
     need = (
         (int(np.ceil(2.0 * hs.max() / cell.min())) + 1) * 2 + 1
         if len(hs) else 1

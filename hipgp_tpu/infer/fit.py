@@ -154,15 +154,35 @@ def natgrad_stability_rho(kn, ivar, state, model, bscale, iters: int = 30):
     that precedes it.
     """
     _, S = model.standard_params(state)
-    if model.family == "mean-field":
-        apply_S = lambda v: S * v
-    elif model.family == "block":
-        apply_S = lambda v: model.block_diag_multiply(S, v[None, :])[0]
-    else:
-        apply_S = lambda v: S @ v
+    run = _rho_stage_fn(model, iters)
+    return float(run(kn, ivar, S, jnp.asarray(bscale, kn.dtype)))
+
+
+def _rho_stage_fn(model, iters: int):
+    """Memoized jitted power-iteration stage for `natgrad_stability_rho`.
+
+    Same staging rationale as the model's `_gram_stage_fns`: all traced
+    values (kn, ivar, S, bscale) are ARGUMENTS, so the compile persists in
+    the on-disk cache and is reused across hyperparameter values and
+    repeat fits; a per-call `@jax.jit` closure would re-trace and re-link
+    every fit and embed S/bscale as HLO constants.  Only the family
+    dispatch (static) and the block-index gather (structural, per-model)
+    live in the closure; the callable is memoized on the model instance.
+    """
+    cache = model.__dict__.setdefault("_rho_jit_cache", {})
+    if iters in cache:
+        return cache[iters]
+    family = model.family
 
     @jax.jit
-    def run(kn, ivar):
+    def run(kn, ivar, S, bscale):
+        if family == "mean-field":
+            apply_S = lambda v: S * v
+        elif family == "block":
+            apply_S = lambda v: model.block_diag_multiply(S, v[None, :])[0]
+        else:
+            apply_S = lambda v: S @ v
+
         def mv(v):
             u = apply_S(v)
             return bscale * (kn.T @ (ivar * (kn @ u))) + u
@@ -178,7 +198,8 @@ def natgrad_stability_rho(kn, ivar, state, model, bscale, iters: int = 30):
         _, rho = jax.lax.fori_loop(0, iters, body, (z0, jnp.zeros((), kn.dtype)))
         return rho
 
-    return float(run(kn, ivar))
+    cache[iters] = run
+    return run
 
 
 def _batch_kn_ivar(model, state, xl, sl, wl, config, kn_fn=None):

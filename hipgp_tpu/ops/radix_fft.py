@@ -846,13 +846,18 @@ def fused_circulant_apply_cropped_dual(
     Per pair this costs one stage-1 forward + one dual middle (3
     half-chains) + two stage-1 inverses — vs two forwards + two full
     middles + two inverses for two independent applies (~25% fewer MXU
-    passes and one fewer HBM round-trip of the input slab).  Built for the
-    Eisenstat PCG step in `ops/solve._planes_solver`, where per iteration
-    z = C^{-1} r and Az = (K C^{-1}) r are both needed for the SAME r.
+    passes and one fewer HBM round-trip of the input slab; measured
+    2.00 ms/pair vs 2.45, RESULTS sec. 10).
 
-    NOT differentiable (no custom_vjp): it only ever runs inside the
-    `lax.custom_linear_solve` solver closure, which JAX never traces for
-    gradients — they flow through the differentiable `matmul_by_K`.
+    NOT used by the PCG solver: the solver's matvec is the CROPPED
+    operator P C_K P^T and P^T P != I blocks diagonal composition — the
+    two PCG applies (matvec and preconditioner) act on DIFFERENT vectors,
+    so no shared forward exists (Eisenstat-style tricks are structurally
+    unusable here).  Kept for non-PCG consumers that need two spectra of
+    one vector, e.g. applying K and d/d(hyper) K to the same slab.
+
+    NOT differentiable (no custom_vjp) — solver-internal-style plumbing
+    only; gradients flow through the differentiable `matmul_by_K`.
     """
     s1 = STAGE1_PRECISION if stage1_precision is None else stage1_precision
     yr, yi = _stage1_fwd(xr, xi, plan, s1, in_rows)

@@ -336,6 +336,53 @@ def _pad_rows(arrays, total, fills):
     return _pad_to(total, *arrays, fills=fills)
 
 
+def _gram_mean_solve(model, info, grid_axis, idx, vmask, wgt, A, bm,
+                     maxiter, tol):
+    """Woodbury mean solve under the grid sharding: z = (K + A)^{-1} b_m
+    with K applied through the sharded circulant apply (PCG vectors (1, M)
+    replicated over the whole mesh — every device runs the identical
+    iteration), then mhat = R z via the sqrt-weight apply.  Returns
+    (z (1, M), mhat (Mp_local,)).  Shared by the 'gram' mean solver in
+    `mp_batch_solve` and the factored solver (`_factored_local`); mirrors
+    `models/hipgp.py` gram semantics, distributed."""
+    dtype = model.dtype
+
+    def apply_w(v, w):
+        emb = _local_embed_from_orig(v, idx, vmask, dtype)
+        emb = emb.reshape((v.shape[0],) + info.local_shape)
+        out = local_circulant_apply(emb, w, info, grid_axis)
+        return _local_crop_psum(out.reshape(v.shape[0], -1),
+                                idx, vmask, model.M, grid_axis)
+
+    z = pcg(
+        lambda v: apply_w(v, wgt) + v @ A,
+        bm[None],
+        precond=lambda v: apply_w(v, 1.0 / wgt),
+        maxiter=maxiter, tol=tol,
+    )
+    embz = _local_embed_from_orig(z, idx, vmask, dtype)
+    embz = embz.reshape((1,) + info.local_shape)
+    mhat = local_circulant_apply(
+        embz, jnp.sqrt(wgt), info, grid_axis
+    ).reshape(-1)
+    return z, mhat
+
+
+def _assemble_theta(model, lam, mhat, bidx, binv, is_block, bs, dtype):
+    """(theta1, theta2) from the local family-shaped Lambda and mean, in
+    the model's parameterization — the shared tail of every mp solve."""
+    if is_block:
+        lam_I = lam + jnp.eye(bs, dtype=dtype)
+        if model.parameterization == "standard":
+            return mhat, spd_inverse(lam_I)
+        return (_local_block_mul(lam_I, mhat[None, :], bidx, binv)[0],
+                -0.5 * lam_I)
+    lam_I = lam + 1.0
+    if model.parameterization == "standard":
+        return mhat, 1.0 / lam_I
+    return mhat * lam_I, -0.5 * lam_I
+
+
 def _factored_local(
     model, info, gidx, mask, wgt, xb, yb, wb, nsb, kb, *,
     params, ivar_of, local_lam, diag_of, bidx, binv, is_block,
@@ -426,40 +473,11 @@ def _factored_local(
     lam = jax.lax.psum(lam_p, dp_axis)
     trKinvA = jax.lax.psum(jax.lax.psum(tr_p, grid_axis), dp_axis)
 
-    # mean: the gram Woodbury solve m = R (K + A)^{-1} b_m, PCG vectors
-    # (1, M) replicated over the whole mesh
-    def apply_w(v, w):
-        emb = _local_embed_from_orig(v, idx, vmask, dtype)
-        emb = emb.reshape((v.shape[0],) + info.local_shape)
-        out = local_circulant_apply(emb, w, info, grid_axis)
-        return _local_crop_psum(out.reshape(v.shape[0], -1),
-                                idx, vmask, M, grid_axis)
-
-    z = pcg(
-        lambda v: apply_w(v, wgt) + v @ A,
-        bm[None],
-        precond=lambda v: apply_w(v, 1.0 / wgt),
-        maxiter=mean_solver_maxiter, tol=mean_solver_tol,
-    )
-    embz = _local_embed_from_orig(z, idx, vmask, dtype)
-    embz = embz.reshape((1,) + info.local_shape)
-    mhat = local_circulant_apply(
-        embz, jnp.sqrt(wgt), info, grid_axis
-    ).reshape(-1)
-
-    if is_block:
-        lam_I = lam + jnp.eye(bs, dtype=dtype)
-        if model.parameterization == "standard":
-            theta1, theta2 = mhat, spd_inverse(lam_I)
-        else:
-            theta1 = _local_block_mul(lam_I, mhat[None, :], bidx, binv)[0]
-            theta2 = -0.5 * lam_I
-    else:
-        lam_I = lam + 1.0
-        if model.parameterization == "standard":
-            theta1, theta2 = mhat, 1.0 / lam_I
-        else:
-            theta1, theta2 = mhat * lam_I, -0.5 * lam_I
+    # mean: the gram Woodbury solve m = R (K + A)^{-1} b_m
+    z, mhat = _gram_mean_solve(model, info, grid_axis, idx, vmask, wgt,
+                               A, bm, mean_solver_maxiter, mean_solver_tol)
+    theta1, theta2 = _assemble_theta(model, lam, mhat, bidx, binv,
+                                     is_block, bs, dtype)
 
     if not compute_elbo:
         return theta1, theta2, zero, trKinvA, sKnn, zero
@@ -472,6 +490,26 @@ def _factored_local(
     kl = jax.lax.psum(_local_kl(model, qm, qS), grid_axis)
     elbo = total_an / N - kl / model.N
     return theta1, theta2, elbo, trKinvA, sKnn, sSkn
+
+
+def _sharded_spectrum_kappa(model, state, mesh, info, grid_axis):
+    """Spectrum dynamic range under spectrum_mode='sharded', computed
+    without any device materializing all M' eigenvalues: each grid shard
+    builds its local weights and only the extrema are reduced."""
+    params = (jnp.exp(state.log_sig2), jnp.exp(state.log_ell))
+    kfun = lambda a, b: model.kernel(a, b, params)
+    axes = tuple(mesh.axis_names)
+
+    def local_fn():
+        w = local_spectrum_weights(model.xgrids, kfun, info, grid_axis,
+                                   jitter=model.jitter)
+        return (jax.lax.pmax(jnp.max(w), axes),
+                jax.lax.pmin(jnp.min(w), axes))
+
+    hi, lo = jax.jit(
+        shard_map(local_fn, mesh=mesh, in_specs=(), out_specs=(P(), P()))
+    )()
+    return float(hi) / float(lo)
 
 
 def mp_batch_solve(
@@ -570,6 +608,26 @@ def mp_batch_solve(
     else:
         info = _static_shard_info(model, ng)
         w_host = jnp.zeros((), model.dtype)  # dummy; built per-shard in-graph
+        if (
+            mean_solver == "factored"
+            and np.dtype(model.dtype) == np.dtype(np.float32)
+            and not isinstance(state.log_ell, jax.core.Tracer)
+        ):
+            # the same f32 trust-region pre-check as the host branch above
+            # — sharded mode must not silently skip it (the post-hoc
+            # tr(K^{-1}A) check alone is insufficient; see models/hipgp.py)
+            kap = _sharded_spectrum_kappa(model, state, mesh, info,
+                                          grid_axis)
+            if kap > 1e3:
+                import warnings
+
+                warnings.warn(
+                    "mp factored solve declined: spectrum dynamic range "
+                    f"{kap:.2e} exceeds the measured f32 trust region "
+                    "(1e3); falling back to the sweep-based 'gram' solver",
+                    RuntimeWarning,
+                )
+                mean_solver = "gram"
 
     N = xobs.shape[0]
     y = yobs.reshape(-1)
@@ -721,30 +779,12 @@ def mp_batch_solve(
 
         if use_gram:
             # Woodbury: m = R (K + A)^{-1} b_m with K the grid-sharded
-            # circulant apply; PCG vectors are (1, M), replicated over the
-            # whole mesh (every device runs the identical iteration)
+            # circulant apply (matmul_by_RT semantics, distributed)
             idx, vmask = _local_orig_indices(model, info, gidx)
-
-            def apply_w(v, w):
-                emb = _local_embed_from_orig(v, idx, vmask, dtype)
-                emb = emb.reshape((v.shape[0],) + info.local_shape)
-                out = local_circulant_apply(emb, w, info, grid_axis)
-                return _local_crop_psum(out.reshape(v.shape[0], -1),
-                                        idx, vmask, model.M, grid_axis)
-
-            z = pcg(
-                lambda v: apply_w(v, wgt) + v @ A,
-                bm[None],
-                precond=lambda v: apply_w(v, 1.0 / wgt),
-                maxiter=mean_solver_maxiter, tol=mean_solver_tol,
+            z, mhat = _gram_mean_solve(
+                model, info, grid_axis, idx, vmask, wgt, A, bm,
+                mean_solver_maxiter, mean_solver_tol,
             )
-            # mhat = R^T ... in whitened coords: C^{1/2} of the embedded z,
-            # local slice (matmul_by_RT semantics, distributed)
-            embz = _local_embed_from_orig(z, idx, vmask, dtype)
-            embz = embz.reshape((1,) + info.local_shape)
-            mhat = local_circulant_apply(
-                embz, jnp.sqrt(wgt), info, grid_axis
-            ).reshape(-1)
         else:
             # optimal mean: (I + sum_n kn kn^T / s_n^2) m = b by CG with the
             # kn stack sharded both ways; m grid-sharded, replicated over dp
@@ -756,19 +796,8 @@ def mp_batch_solve(
             mhat = pcg(big_mv, b[None], maxiter=mean_solver_maxiter,
                        tol=mean_solver_tol, dot_fn=grid_dot)[0]
 
-        if is_block:
-            lam_I = lam + jnp.eye(bs, dtype=dtype)
-            if model.parameterization == "standard":
-                theta1, theta2 = mhat, spd_inverse(lam_I)
-            else:
-                theta1 = _local_block_mul(lam_I, mhat[None, :], bidx, binv)[0]
-                theta2 = -0.5 * lam_I
-        else:
-            lam_I = lam + 1.0
-            if model.parameterization == "standard":
-                theta1, theta2 = mhat, 1.0 / lam_I
-            else:
-                theta1, theta2 = mhat * lam_I, -0.5 * lam_I
+        theta1, theta2 = _assemble_theta(model, lam, mhat, bidx, binv,
+                                         is_block, bs, dtype)
 
         if not compute_elbo:
             zero = jnp.zeros((), dtype)

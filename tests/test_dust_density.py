@@ -53,6 +53,26 @@ def test_sph_deposit_matches_bruteforce():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
 
 
+def test_sph_deposit_tiny_window_and_h_stay_finite():
+    """max_window <= 4 drives the h clip to its quarter-cell floor (it used
+    to clip to 0, putting NaN/Inf through r/h and 1/h^3), and h=0 input
+    particles deposit as narrow finite blobs instead of NaNs."""
+    rs = np.random.RandomState(2)
+    n, dims = 20, (6, 6, 6)
+    left, right = np.array([-1.0, -1.0, -1.0]), np.array([1.0, 1.0, 1.0])
+    pos = rs.uniform(-0.8, 0.8, (n, 3))
+    vals = rs.uniform(0.5, 2.0, n)
+    m = np.ones(n)
+    rho = np.ones(n)
+    hs = rs.uniform(0.1, 0.3, n)
+    hs[:4] = 0.0  # degenerate smoothing lengths
+    for win in (3, 4, 9):
+        got = sph_deposit(pos, vals, m, rho, hs, left, right, dims,
+                          chunk=8, max_window=win)
+        assert np.all(np.isfinite(got)), f"non-finite deposit at window {win}"
+        assert got.max() > 0.0
+
+
 def test_cic_mass_conservation_and_oracle():
     rs = np.random.RandomState(1)
     n, dims = 200, (8, 8, 8)

@@ -479,3 +479,19 @@ def test_mp_factored_guard_falls_back():
                           batch_size=128, maxiter_cg=30, mean_solver="gram")
     np.testing.assert_allclose(np.asarray(st_f.theta2),
                                np.asarray(st_g.theta2), rtol=1e-6)
+    # spectrum_mode='sharded' must run the SAME f32 trust-region pre-check
+    # (via the shard-local spectrum extrema) — it used to skip straight to
+    # the factored solve
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        st_s = mp_batch_solve(model, st0, x32, y32, s32, mesh,
+                              batch_size=128, maxiter_cg=30,
+                              mean_solver="factored",
+                              spectrum_mode="sharded")
+    # control: the sharded-spectrum gram solve — the exact path the
+    # fallback must land on (the host-spectrum gram differs at this
+    # clamped config's truncated-PCG level, ~1e-2)
+    st_gs = mp_batch_solve(model, st0, x32, y32, s32, mesh,
+                           batch_size=128, maxiter_cg=30,
+                           mean_solver="gram", spectrum_mode="sharded")
+    np.testing.assert_allclose(np.asarray(st_s.theta2),
+                               np.asarray(st_gs.theta2), rtol=1e-6)
