@@ -113,7 +113,28 @@ def run_guards(jax, jnp):
         return spec
 
     # 1. MXU matmul-basis transform (all embedded axes <= 512), large batch
-    check("matmul_2d_b1000_rel", (65, 50), 1000)
+    spec1 = check("matmul_2d_b1000_rel", (65, 50), 1000)
+    # 1b. fused cropped 2-D sandwich kernel (ops/mxu2d.py — the 2-D PCG
+    #     apply) against the same f64 oracle at the same shape
+    from hipgp_tpu.ops.bttb import _full_weights
+    from hipgp_tpu.ops.mxu2d import sandwich_apply
+
+    v1 = rng.standard_normal((256, spec1.M)).astype(np.float32)
+    wfull = _full_weights(spec1.eigs, spec1.edims[-1])
+    got1 = np.asarray(
+        jax.jit(
+            lambda v: sandwich_apply(
+                v.reshape((-1,) + spec1.dims), wfull, spec1.dims, spec1.edims
+            ).reshape(v.shape[0], -1)
+        )(jnp.asarray(v1))
+    )
+    hs1 = [1.0 / (m - 1) for m in (65, 50)]
+    want1 = numpy_circulant_apply_oracle(
+        hs1, spec1.dims, spec1.edims, 1.5 * hs1[0], 1e-3, v1
+    )
+    guards["mxu2d_apply_rel"] = float(
+        np.max(np.abs(got1 - want1)) / np.max(np.abs(want1))
+    )
     # 2. long-axis packed-FFT path, 1-D (the headline regime), small batch
     check("fft_1d_long_rel", (1 << 17,), 8)
     # 3. batched multi-dim FFT corruption guard: a 2-D grid past the matmul
@@ -177,12 +198,27 @@ def _mp_on_chip_rel(jax, jnp):
                   num_obs=N, family="mean-field", ell_init=0.1,
                   noise2_init=0.0225, grid_shards=1, dtype=jnp.float32)
     state = model.init_state()
-    ref = model.batch_solve(state, x, y, s, batch_size=128, maxiter_cg=30,
-                            mean_solver="cg", mean_solver_maxiter=200)
-    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "grid"))
-    got = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s, mesh,
-                         batch_size=128, maxiter_cg=30,
-                         mean_solver_maxiter=200)
+    # This guard isolates the SHARDED lowering, so the single-device
+    # reference must run the same transform arithmetic as the mp path:
+    # with the fused mxu2d solver engaged on the reference side the two
+    # converged solves differ at the f32 operator-arithmetic class
+    # (7.3e-4 theta1, measured) instead of the same-arithmetic 5.4e-5.
+    # The fused kernel has its own f64-oracle guard (mxu2d_apply_rel).
+    from hipgp_tpu.ops import bttb
+
+    fused_prev = bttb.USE_MXU2D_PCG
+    bttb.USE_MXU2D_PCG = False
+    try:
+        ref = model.batch_solve(state, x, y, s, batch_size=128,
+                                maxiter_cg=30, mean_solver="cg",
+                                mean_solver_maxiter=200)
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("dp", "grid"))
+        got = mp_batch_solve(model, mp_shard_state(state, mesh), x, y, s,
+                             mesh, batch_size=128, maxiter_cg=30,
+                             mean_solver_maxiter=200)
+    finally:
+        bttb.USE_MXU2D_PCG = fused_prev
     num = float(jnp.max(jnp.abs(got.theta1 - ref.theta1)))
     den = float(jnp.max(jnp.abs(ref.theta1)))
 

@@ -399,6 +399,12 @@ MATMUL_DFT_DTYPE = None
 # elementwise ops into the chain while pallas_call is a fusion barrier.
 # Off by default; flip for apply-dominated standalone workloads.
 USE_PALLAS_TRANSFORM = False
+# Fused cropped-IO 2-D sandwich PCG (ops/mxu2d.py + solve._mxu2d_solver):
+# unlike the full-plane v2 kernel above, the cropped kernel streams only
+# the ORIGINAL-space data (the embedded plane lives in VMEM) and emits the
+# CG inner products from the applies, so it wins INSIDE the solve too.
+# Engages for 2-D f32 TPU solves in the matmul regime.
+USE_MXU2D_PCG = True
 # The 1-D long-axis circulant apply DOES win from fusion: the three-stage
 # radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) runs the
 # 20-iteration whitening solve at 44.3 vs 59.0 ms against the XLA-FFT path

@@ -151,6 +151,104 @@ def _planes_pcg_fused_while(s0, dK, dC, plan, rows, mask, maxiter, tol):
     return x
 
 
+def _mxu2d_solver_ok(spec: BTTBSpectrum, dtype) -> bool:
+    """True when the fused 2-D sandwich PCG path applies: 2-D grid in the
+    MXU matmul-transform regime (every embedded axis <= MATMUL_DFT_MAX_LEN),
+    f32, on the TPU backend."""
+    from . import bttb
+
+    if len(spec.dims) != 2 or dtype != jnp.float32:
+        return False
+    if not bttb.USE_MXU2D_PCG or jax.default_backend() != "tpu":
+        return False
+    if min(spec.edims) <= 1:
+        return False
+    return max(spec.edims) <= bttb.MATMUL_DFT_MAX_LEN
+
+
+def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
+    """PCG over (B, d0, d1) sample planes with the fused cropped sandwich
+    kernel (ops/mxu2d.py) and the CG inner products emitted per sample
+    from the applies — the 2-D analogue of `_planes_pcg_fused(_while)`.
+    Identical update order and guards to `cg.pcg / pcg_scan`."""
+    from .mxu2d import sandwich_apply_selfdot
+
+    def apply_dot(s, w):
+        return sandwich_apply_selfdot(s, w, dims, edims)
+
+    z, rz = apply_dot(s0, wC)
+    x = jnp.zeros_like(s0)
+    r = s0
+    p = z
+    ax = lambda a: a[:, None, None]
+
+    def step(x, r, p, rz):
+        Ap, pAp = apply_dot(p, wK)
+        safe = jnp.abs(pAp) > 0
+        alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
+        x = x + ax(alpha) * p
+        r = r - ax(alpha) * Ap
+        z, rz_new = apply_dot(r, wC)
+        beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + ax(beta) * p
+        return x, r, p, rz_new
+
+    if fixed_iters:
+        def body(carry, _):
+            return step(*carry), None
+
+        (x, *_), _ = lax.scan(body, (x, r, p, rz), None, length=num_iters)
+        return x
+
+    rr = jnp.sum(r * r, axis=(-2, -1))
+    tol_sq = jnp.asarray(tol, s0.dtype) ** 2
+
+    def cond(carry):
+        k, _x, _r, _p, _rz, rr = carry
+        return jnp.logical_and(k < num_iters, jnp.any(rr >= tol_sq))
+
+    def body(carry):
+        k, x, r, p, rz, _rr = carry
+        Ap, pAp = apply_dot(p, wK)
+        safe = jnp.abs(pAp) > 0
+        alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
+        x = x + ax(alpha) * p
+        r = r - ax(alpha) * Ap
+        rr = jnp.sum(r * r, axis=(-2, -1))
+        z, rz_new = apply_dot(r, wC)
+        beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + ax(beta) * p
+        return (k + 1, x, r, p, rz_new, rr)
+
+    k0 = jnp.asarray(0, jnp.int32)
+    _, x, *_ = lax.while_loop(cond, body, (k0, x, r, p, rz, rr))
+    return x
+
+
+def _mxu2d_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
+                  fixed_iters: bool):
+    """PCG solver over (B, d0, d1) sample planes for the 2-D matmul-basis
+    regime: the cropped fused sandwich kernel keeps the embedded (L0, L1)
+    plane VMEM-only (one HBM read + one write of the ORIGINAL-space data
+    per apply vs ~10 passes over the 4x-larger embedded planes for the
+    einsum chain), and both CG dots ride the applies.  Used as the
+    `lax.custom_linear_solve` solver, so gradients never trace it."""
+    from .bttb import _full_weights
+
+    dims, edims = spec.dims, spec.edims
+    M = spec.M
+
+    def solver(_matvec, b):
+        wK = _full_weights(spec.eigs, edims[-1])
+        wC = 1.0 / wK
+        batch = b.shape[:-1]
+        s0 = b.reshape((-1,) + dims)
+        x = _mxu2d_pcg(s0, wK, wC, dims, edims, maxiter, tol, fixed_iters)
+        return x.reshape(batch + (M,))
+
+    return solver
+
+
 def _planes_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
                    fixed_iters: bool):
     """PCG solver over PACKED complex planes for the 1-D radix path.
@@ -256,6 +354,8 @@ def inv_matmul(
 
     if do_precond and _planes_solver_ok(spec, rhs.dtype):
         solver = _planes_solver(spec, maxiter, tol, fixed_iters)
+    elif do_precond and _mxu2d_solver_ok(spec, rhs.dtype):
+        solver = _mxu2d_solver(spec, maxiter, tol, fixed_iters)
     else:
 
         def solver(matvec, b):
@@ -294,7 +394,26 @@ def whiten(
     )
     if _planes_solver_ok(spec, d.dtype):
         return _rt_planes(spec, d)
+    if _mxu2d_solver_ok(spec, d.dtype):
+        return _rt_mxu2d(spec, d)
     return matmul_by_RT(spec, d)
+
+
+def _rt_mxu2d(spec: BTTBSpectrum, d: jnp.ndarray) -> jnp.ndarray:
+    """R^T @ d through the fused 2-D sandwich: (..., M) -> (..., M').
+
+    Same operator as `matmul_by_RT` (sqrt-weights sandwich, cropped input,
+    full expanded output); differentiable (the fused apply carries its own
+    custom VJP in x and w)."""
+    from .bttb import _full_weights
+    from .mxu2d import sandwich_apply
+
+    dims, edims = spec.dims, spec.edims
+    w = jnp.sqrt(_full_weights(spec.eigs, edims[-1]))
+    batch = d.shape[:-1]
+    y = sandwich_apply(d.reshape((-1,) + dims), w, dims, edims,
+                       out_expanded=True)
+    return y.reshape(batch + (spec.Mprime,))
 
 
 def _rt_planes(spec: BTTBSpectrum, d: jnp.ndarray) -> jnp.ndarray:
