@@ -67,10 +67,24 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--kernel-lr", type=float, default=1e-3)
     p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
     p.add_argument("--learn-kernel", action="store_true",
                    help="learn hyperparameters (uses cholesky whitening, as"
                         " the reference requires for this protocol)")
+    p.add_argument("--whitening", default="auto",
+                   choices=["auto", "ziggy", "cholesky"],
+                   help="'auto' keeps the reference's semantics (cholesky "
+                        "iff --learn-kernel, `run_3droad_experiment.py:205` "
+                        "assert — which caps M at dense-Cholesky scale). "
+                        "'ziggy' learns hyperparameters THROUGH the "
+                        "iterative PCG whitening (implicit differentiation, "
+                        "ops/solve.py custom_linear_solve) — M=128^2 and "
+                        "beyond, structurally impossible in the reference")
+    p.add_argument("--theta2-warmstart", action="store_true",
+                   help="one Lambda-only sweep before natgrad SVI "
+                        "(removes the mean-field warmup transient)")
     p.add_argument("--output-dir", default="./output-3droad")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -91,8 +105,8 @@ def main(argv=None):
 
     cfg = FitConfig(
         epochs=args.epochs, batch_size=args.batch_size,
-        maxiter_cg=args.maxiter_cg,
-        learn_kernel=args.learn_kernel,
+        maxiter_cg=args.maxiter_cg, lr=args.lr,
+        learn_kernel=args.learn_kernel, kernel_lr=args.kernel_lr,
     )
     return fit_predict_and_save(
         name=f"3droad-{args.model_class}",
@@ -103,9 +117,12 @@ def main(argv=None):
         sig2_init=(args.sig2_init if args.sig2_init > 0 else "empirical"),
         ell_init=args.ell,
         noise2_init=args.noise_std**2,
-        # learn-kernel requires the exact cholesky whitening
-        # (`run_3droad_experiment.py:205` assert)
-        whitened_type="cholesky" if args.learn_kernel else "ziggy",
+        # 'auto' = the reference's semantics: learn-kernel requires the
+        # exact cholesky whitening (`run_3droad_experiment.py:205` assert);
+        # --whitening ziggy overrides it (hyper-grads via implicit diff)
+        whitened_type=(("cholesky" if args.learn_kernel else "ziggy")
+                       if args.whitening == "auto" else args.whitening),
+        theta2_warmstart=args.theta2_warmstart,
         fit_method=args.fit_method,
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
