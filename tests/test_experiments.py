@@ -144,6 +144,26 @@ def test_run_3droad_synthetic(tmp_path):
     assert "fmu_valid" in preds.files and "fmu_test" in preds.files
 
 
+def test_run_3droad_learn_kernel_through_ziggy_whitening(tmp_path):
+    """--whitening ziggy + --learn-kernel: hyperparameter gradients flow
+    through the iterative PCG whitening (implicit diff), a configuration
+    the reference's dense-Cholesky assert rules out
+    (`run_3droad_experiment.py:205`)."""
+    run_3droad.main([
+        "--nobs", "400", "--num-inducing", "8", "--ell", "0.5",
+        "--fit-method", "natgrad", "--learn-kernel", "--whitening", "ziggy",
+        "--theta2-warmstart", "--epochs", "3", "--batch-size", "128",
+        "--kernel-lr", "1e-2", "--maxiter-cg", "20",
+        "--output-dir", str(tmp_path),
+    ])
+    odir = tmp_path / "3droad-mean-field"
+    ell = np.load(odir / "ell_trace.npy")
+    elbo = np.load(odir / "elbo_trace.npy")
+    assert np.isfinite(elbo).all()
+    # hyperparameters moved under the through-the-solve gradients
+    assert abs(float(ell[-1]) - 0.5) > 1e-4
+
+
 def test_preconditioner_analysis(tmp_path):
     df = preconditioner_analysis.main([
         "--sizes", "16", "64", "--kernels", "Mat52", "--ells", "0.05",
