@@ -49,6 +49,11 @@ __all__ = ["HIPGP", "HIPGPState", "FactoredSolveInconsistency"]
 
 LN2PI = math.log(2.0 * math.pi)
 
+# max batches per gram-sweep dispatch: one whole-data dispatch is killed by
+# the TPU runtime watchdog beyond M ~ 128^2 (see `_batch_solve_gram`); at
+# the 3droad shape 64 batches ~ 10 s of device time per dispatch
+GRAM_SWEEP_MAX_BATCHES = 64
+
 
 class FactoredSolveInconsistency(RuntimeError):
     """The factored batch solve's exactness check failed.
@@ -1005,7 +1010,7 @@ class HIPGP:
          N) = cfg
         dtype = self.dtype
 
-        def sweep(state, spec, xp, yp, w, keys, nsp):
+        def sweep(carry0, state, spec, xp, yp, w, keys, nsp):
             def body(carry, inp):
                 lam, A, bm, sy2, sKnn, sknkn, slog = carry
                 xb, yb, wb, kb, nsb = inp
@@ -1033,15 +1038,6 @@ class HIPGP:
                 slog = slog + jnp.sum(wb * (-logs - 0.5 * LN2PI))
                 return (lam, A, bm, sy2, sKnn, sknkn, slog), None
 
-            zero = jnp.asarray(0.0, dtype)
-            lam0 = jax.tree.map(
-                jnp.zeros_like,
-                self.get_lam(jnp.zeros((1,), dtype),
-                             jnp.zeros((1, self.Mprime), dtype),
-                             add_identity=False),
-            )
-            carry0 = (lam0, jnp.zeros((self.M, self.M), dtype),
-                      jnp.zeros((self.M,), dtype), zero, zero, zero, zero)
             return jax.lax.scan(body, carry0, (xp, yp, w, keys, nsp))[0]
 
         if self.whitened_type == "cholesky":
@@ -1079,7 +1075,9 @@ class HIPGP:
             return total_an / N - self.kl_to_prior(qm, qS) / self.N
 
         fns = {
-            "sweep": jax.jit(sweep),
+            # the carry is donated: A (M x M) updates in place across the
+            # chunked dispatches — one resident copy at any scale
+            "sweep": jax.jit(sweep, donate_argnums=(0,)),
             "mean_stage": jax.jit(mean_stage),
             "elbo_stage": jax.jit(elbo_stage),
         }
@@ -1103,6 +1101,17 @@ class HIPGP:
         sum ivar kn S kn = sum(S * Lambda_data) are pass-1 accumulables,
         and the data quadratic collapses onto (A, b_m, z).  Halves the
         dominant cost.  Stages are memoized-jitted (`_gram_stage_fns`).
+
+        The sweep runs in chunks of at most ``GRAM_SWEEP_MAX_BATCHES``
+        batches per dispatch with the accumulator carry DONATED between
+        chunks: a single whole-data dispatch exceeds the TPU runtime's
+        watchdog beyond M ~ 128^2 (the worker process is killed mid-solve
+        — same failure mode as RESULTS sec. 9's fused graph, reproduced at
+        M=192^2), while chunked dispatches pipeline back-to-back at
+        identical accumulation order (the chunk boundary splits the same
+        sequential adds), so the result is bit-identical.  The batch stack
+        is padded to a multiple of the chunk with zero-weight batches so
+        every chunk shares one compiled program.
         """
         dtype = self.dtype
         if nsp is None:
@@ -1111,9 +1120,34 @@ class HIPGP:
             (maxiter_cg, integrated_obs, semi_integrated_estimator,
              semi_integrated_samps, mean_solver_maxiter, mean_solver_tol, N)
         )
-        lam, A, bm, sy2, sKnn, sknkn, slog = fns["sweep"](
-            state, spec, xp, yp, w, keys, nsp
+        nb = xp.shape[0]
+        # even chunks <= the max, so the zero-weight pad is < nchunks
+        # batches (vs up to chunk-1 when slicing at the max directly)
+        nchunks = -(-nb // max(1, min(nb, GRAM_SWEEP_MAX_BATCHES)))
+        chunk = -(-nb // nchunks)
+        pad = (-nb) % chunk
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            xp, keys = rep(xp), rep(keys)
+            yp = jnp.concatenate([yp, jnp.zeros((pad,) + yp.shape[1:], dtype)])
+            w = jnp.concatenate([w, jnp.zeros((pad,) + w.shape[1:], dtype)])
+            nsp = jnp.concatenate([nsp, jnp.ones((pad,) + nsp.shape[1:], dtype)])
+        # distinct scalar buffers: the donated carry may not alias leaves
+        zero = lambda: jnp.zeros((), dtype)
+        lam0 = jax.tree.map(
+            jnp.zeros_like,
+            self.get_lam(jnp.zeros((1,), dtype),
+                         jnp.zeros((1, self.Mprime), dtype),
+                         add_identity=False),
         )
+        carry = (lam0, jnp.zeros((self.M, self.M), dtype),
+                 jnp.zeros((self.M,), dtype), zero(), zero(), zero(), zero())
+        for i in range(0, xp.shape[0], chunk):
+            s = slice(i, i + chunk)
+            carry = fns["sweep"](carry, state, spec, xp[s], yp[s], w[s],
+                                 keys[s], nsp[s])
+        lam, A, bm, sy2, sKnn, sknkn, slog = carry
         if self.whitened_type == "cholesky":
             mhat, z = fns["mean_stage"](state, A, bm)
         else:

@@ -352,6 +352,34 @@ def test_batch_solve_gram_mean_solver_elbo_finite():
     np.testing.assert_allclose(float(e_gram), float(e_dense), rtol=1e-6)
 
 
+def test_batch_solve_gram_sweep_chunking_bit_identical():
+    """Chunking the gram sweep into bounded dispatches (the TPU-watchdog
+    fix for M beyond 128^2) is bit-identical to the single-dispatch sweep:
+    the chunk boundary splits the same sequential accumulation order, and
+    the last chunk's zero-weight pad batches contribute nothing."""
+    from hipgp_tpu.models import hipgp as hm
+
+    x, y, s, _ = make_data()
+    model = make_model("mean-field", "ziggy")
+    st = model.init_state()
+    orig = hm.GRAM_SWEEP_MAX_BATCHES
+    try:
+        hm.GRAM_SWEEP_MAX_BATCHES = 10_000  # one dispatch
+        one, e_one = model.batch_solve(
+            st, x, y, s, batch_size=16, maxiter_cg=100, mean_solver="gram",
+            compute_elbo=True)
+        model.__dict__.pop("_gram_jit_cache", None)
+        hm.GRAM_SWEEP_MAX_BATCHES = 3  # uneven: forces pad batches too
+        many, e_many = model.batch_solve(
+            st, x, y, s, batch_size=16, maxiter_cg=100, mean_solver="gram",
+            compute_elbo=True)
+    finally:
+        hm.GRAM_SWEEP_MAX_BATCHES = orig
+    np.testing.assert_array_equal(np.asarray(one.theta1), np.asarray(many.theta1))
+    np.testing.assert_array_equal(np.asarray(one.theta2), np.asarray(many.theta2))
+    assert float(e_one) == float(e_many)
+
+
 def test_fit_resume_roundtrip(tmp_path):
     """Checkpoint every epoch, interrupt, resume: final state identical to
     an uninterrupted run."""
