@@ -18,17 +18,16 @@ Prints ONE JSON line.  Fields beyond the driver contract
   of the packed complex buffer per FFT direction plus the real in/out.
 * ``radix_bound_ms`` — applies x the measured BARRIER-FREE chained
   cropped self-dot apply (the actual PCG-iteration kernel: rectangular
-  stage-1 tables, CG inner products emitted as stage-1-inverse partials)
-  plus the MODELED HBM floor of the CG state updates (9 vector I/Os per
-  iteration; an isolated axpy skeleton is unmeasurable — XLA fuses a pure
-  elementwise scan into one pass).  The bound assumes all of CG's scalar
-  sync overlaps perfectly, so solve-vs-bound is exactly the residual
-  dependency cost.  ``at_radix_bound`` means the solve carries no glue
-  beyond our kernels + unavoidable state traffic.  (The round-2
-  comparator measured against the standalone XLA FFT pair — 42x slower
-  than the radix kernels that replaced it — and had become trivially
-  true; the first round-3 comparator used the FULL uncropped apply and a
-  dots-included skeleton, hiding ~9 ms of real headroom.)
+  stage-1 tables, CG inner products emitted as stage-1-inverse partials).
+  The CG state updates and scalar gates are NOT added: the solve measures
+  ~0.1 ms/iter above the bare applies — they are hidden by pipeline
+  overlap (proved in round 3 by the axpy-fusion experiment, whose rider
+  kernels removed them outright and LOST 24 ms; RESULTS sec. 10).
+  ``at_radix_bound`` means the solve carries no glue beyond our kernels.
+  (The round-2 comparator measured against the standalone XLA FFT pair —
+  42x slower than the radix kernels that replaced it — and had become
+  trivially true; an earlier round-3 comparator added a modeled 9-vector
+  state-update floor that double-counted overlapped traffic.)
 * ``fft_pair_ms`` — the standalone XLA fwd+scale+inv c64 FFT pair at the
   same shape, kept as the what-XLA-would-give reference point.
 * ``guards`` — on-chip numerics regression checks (f32 device vs f64 numpy
@@ -336,15 +335,15 @@ def main():
     chain_s, _ = chain_time(apply_chain, xr0, reps=5)
     apply_ms = chain_s / MAXITER * 1e3
 
-    # CG state-update floor is MODELED, not measured: an isolated axpy
-    # skeleton is meaningless (XLA fuses a pure-elementwise scan into a
-    # single pass — measured 0.08 ms for what costs ~7 ms inside the real
-    # loop, where the applies break fusion between the updates).  Per
-    # iteration the updates x += a p, r -= a Ap, p = z + b p move nine
-    # state-vector I/Os (6 reads + 3 writes) of (2, B/2, M) f32.
+    # CG state-update traffic is NOT added to the bound: the solve measures
+    # ~0.1 ms/iter above the bare chained applies, i.e. the axpys and
+    # scalar gates are almost fully hidden by pipeline overlap (measured
+    # round 3 — the axpy-fusion rider kernels that removed them outright
+    # LOST 24 ms; RESULTS sec. 10 rejected table).  The modeled 9-vector-IO
+    # skeleton is still reported for the traffic account.
     vec_bytes = 2 * (B // 2) * M * 4
     skel_s = MAXITER * 9 * vec_bytes / HBM_BYTES_PER_S
-    radix_bound_ms = applies * apply_ms + skel_s * 1e3
+    radix_bound_ms = applies * apply_ms
 
     # --- measured Cholesky baseline at the same M (no extrapolation) -----
     Mc = 1 << 14  # largest dense-Cholesky size that is comfortably feasible
