@@ -29,8 +29,12 @@ ROI = (-5.7, 1.8, 50.0, 55.5)  # lon_lo, lon_hi, lat_lo, lat_hi
 def prepare_uk_housing_csv(price_csv: str, postcode_csv: str, out_csv: str):
     """Join raw land-registry prices with a postcode->lat/lon table.
 
-    price_csv: land-registry format with price in col 1, postcode col 3,
-    property type col 4 ('F' = flat kept).  postcode_csv: postcode, lat, lon.
+    Reproduces the reference's raw pipeline (`uk_housing_data.py:73-99`
+    load_uk_pricing_data + the flat filter at :56): price in col 1,
+    postcode col 3, property type col 4 ('F' = flat kept); left-merge on
+    postcode; drop rows with missing lon/lat, price < 1000, or
+    latitude > 65 (the reference's outlier filter, :96-98).
+    postcode_csv: header row with postcode, latitude, longitude columns.
     """
     prices = pd.read_csv(price_csv, header=None)
     prices = prices[prices[4] == "F"]
@@ -38,10 +42,33 @@ def prepare_uk_housing_csv(price_csv: str, postcode_csv: str, out_csv: str):
     prices.columns = ["price", "postcode"]
     pc = pd.read_csv(postcode_csv)
     pc.columns = [c.lower() for c in pc.columns]
-    merged = prices.merge(pc, on="postcode", how="inner")
+    merged = prices.merge(pc, on="postcode", how="left")
+    bad = (
+        merged["longitude"].isnull()
+        | (merged["price"] < 1000)
+        | (merged["latitude"] > 65)
+    )
+    merged = merged[~bad]
     merged["log_price"] = np.log(merged["price"])
     merged[["longitude", "latitude", "log_price"]].to_csv(out_csv, index=False)
     return out_csv
+
+
+def load_prepared_csv(path: str):
+    """ROI filter + mean-center a prepared CSV (the reference's
+    `UKHousingData.__init__` protocol, `uk_housing_data.py:46-64`).
+
+    Returns (x (N,2) lon/lat, y (N,) mean-centered log-price).
+    """
+    df = pd.read_csv(path)
+    x = df[["longitude", "latitude"]].values
+    y = df["log_price"].values
+    m = (
+        (x[:, 0] > ROI[0]) & (x[:, 0] < ROI[1])
+        & (x[:, 1] > ROI[2]) & (x[:, 1] < ROI[3])
+    )
+    x, y = x[m], y[m]
+    return x, y - y.mean()
 
 
 def local_noise_estimate(x, y, num_boxes: int = 500, box_frac: float = 0.02,
@@ -109,16 +136,7 @@ def main(argv=None):
 
     ftrue = None
     if args.data_path and os.path.exists(args.data_path):
-        df = pd.read_csv(args.data_path)
-        x = df[["longitude", "latitude"]].values
-        y = df["log_price"].values
-        # ROI filter + mean-center (reference protocol)
-        m = (
-            (x[:, 0] > ROI[0]) & (x[:, 0] < ROI[1])
-            & (x[:, 1] > ROI[2]) & (x[:, 1] < ROI[3])
-        )
-        x, y = x[m], y[m]
-        y = y - y.mean()
+        x, y = load_prepared_csv(args.data_path)
         fte = None
     else:
         print("no --data-path: generating synthetic UK-housing-like data")
