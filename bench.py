@@ -30,6 +30,12 @@ Prints ONE JSON line.  Fields beyond the driver contract
   state-update floor that double-counted overlapped traffic.)
 * ``fft_pair_ms`` — the standalone XLA fwd+scale+inv c64 FFT pair at the
   same shape, kept as the what-XLA-would-give reference point.
+* ``mxu2d_whiten20_ms`` / ``..._einsum_ms`` / ``..._speedup`` — the 2-D
+  matmul-basis regime every paper-scale fit runs through (3droad sweep
+  shape, M=128^2 batch 1024): the fused cropped-sandwich PCG
+  (ops/mxu2d.py) vs the einsum chain, with the full 20-iteration solve
+  anchored against an f64 numpy PCG+R^T oracle
+  (``guards.mxu2d_whiten20_rel_f64``, threshold ``WHITEN_GUARD_RTOL``).
 * ``guards`` — on-chip numerics regression checks (f32 device vs f64 numpy
   oracles) for the three measured v5e cliffs encoded in `ops/bttb.py`:
   the MXU matmul-basis transform, the long-axis packed-FFT path, and the
@@ -82,6 +88,107 @@ def numpy_circulant_apply_oracle(grid_h, dims, edims, ell, jitter, v):
                       s=edims, axes=tuple(range(1, len(edims) + 1)))
     crop = tuple([slice(None)] + [slice(0, d) for d in dims])
     return y[crop].reshape(B, -1)
+
+
+def numpy_whiten_oracle_2d(dims, edims, hs, sig2, ell, jitter, v, maxiter):
+    """f64 numpy oracle for the FULL 2-D whitening solve kn = R^T K^{-1} v:
+    Matern-3/2 wrapped-lag circulant embedding -> clamped rfftn eigenvalues
+    -> 20-iteration PCG with the circulant-inverse preconditioner (same
+    update order as ops/cg.py) -> full-expanded R^T.  Anchors the fused
+    mxu2d PCG absolutely, not just apply-vs-apply."""
+    coords = [np.minimum(np.arange(L), L - np.arange(L)) * h
+              for L, h in zip(edims, hs)]
+    mesh = np.meshgrid(*coords, indexing="ij")
+    r = np.sqrt(sum(m**2 for m in mesh)) / ell
+    c = sig2 * (1.0 + math.sqrt(3.0) * r) * np.exp(-math.sqrt(3.0) * r)
+    c.flat[0] += jitter
+    eigs = np.maximum(np.fft.rfftn(c), 1e-6)
+
+    B = v.shape[0]
+    pad = [(0, 0)] + [(0, e - d) for d, e in zip(dims, edims)]
+    crop = tuple([slice(None)] + [slice(0, d) for d in dims])
+    axes = tuple(range(1, len(edims) + 1))
+
+    def apply_w(x, w, out_expanded=False):
+        xe = np.pad(x.reshape((B,) + dims).astype(np.float64), pad)
+        y = np.fft.irfftn(w * np.fft.rfftn(xe, axes=axes), s=edims, axes=axes)
+        if out_expanded:
+            return y.reshape(B, -1)
+        return y[crop].reshape(B, -1)
+
+    b = v.astype(np.float64).reshape(B, -1)
+    x = np.zeros_like(b)
+    rres = b.copy()
+    z = apply_w(rres, 1.0 / eigs)
+    p = z.copy()
+    rz = np.sum(rres * z, axis=1)
+    for _ in range(maxiter):
+        Ap = apply_w(p, eigs)
+        pAp = np.sum(p * Ap, axis=1)
+        safe = np.abs(pAp) > 0
+        alpha = np.where(safe, rz / np.where(safe, pAp, 1.0), 0.0)
+        x += alpha[:, None] * p
+        rres -= alpha[:, None] * Ap
+        z = apply_w(rres, 1.0 / eigs)
+        rz_new = np.sum(rres * z, axis=1)
+        beta = np.where(safe, rz_new / np.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[:, None] * p
+        rz = rz_new
+    return apply_w(x, np.sqrt(eigs), out_expanded=True)
+
+
+def run_2d_fused(jax, jnp, chain_fn):
+    """The 2-D matmul-basis regime every paper-scale fit runs through
+    (3droad sweep shape: M = 128^2, batch 1024, Matern-3/2, maxiter 20 —
+    `results/repro/mxu2d_probe.py`): fused cropped-sandwich PCG
+    (ops/mxu2d.py) vs the einsum-chain path, plus an f64 numpy oracle of
+    the FULL whitening solve.  Round-3 measured 61 ms fused / 172 ms
+    einsum; a perf regression here was invisible to the driver before."""
+    from hipgp_tpu.kernels import Matern
+    from hipgp_tpu.ops import bttb, make_spectrum, whiten
+
+    m, B, MAXITER = 128, 1024, 20
+    sig2, ell, jitter = 0.1, 0.1, 1e-3
+    dtype = jnp.float32
+    grids = [jnp.linspace(0.0, 1.0, m, dtype=dtype)] * 2
+    kern = Matern(1.5)
+    kfun = lambda a, b: kern(a, b, (sig2, ell))
+    spec = jax.block_until_ready(
+        jax.jit(lambda: make_spectrum(grids, kfun, jitter=jitter))()
+    )
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((B, spec.M)), dtype)
+
+    fused_prev = bttb.USE_MXU2D_PCG
+    try:
+        bttb.USE_MXU2D_PCG = True
+        f_fused = jax.jit(
+            lambda v: whiten(spec, v, maxiter=MAXITER, tol=0.0,
+                             fixed_iters=True)
+        )
+        t_fused, kn_fused = chain_fn(f_fused, v, reps=5)
+        bttb.USE_MXU2D_PCG = False
+        f_einsum = jax.jit(
+            lambda v: whiten(spec, v, maxiter=MAXITER, tol=0.0,
+                             fixed_iters=True)
+        )
+        t_einsum, _ = chain_fn(f_einsum, v, reps=5)
+    finally:
+        bttb.USE_MXU2D_PCG = fused_prev
+
+    # f64 absolute anchor at a small batch (numpy cost, not device cost)
+    vb = np.asarray(v[:8], np.float32)
+    hs = [1.0 / (m - 1)] * 2
+    want = numpy_whiten_oracle_2d(spec.dims, spec.edims, hs, sig2, ell,
+                                  jitter, vb, MAXITER)
+    got = np.asarray(kn_fused[:8], np.float64)
+    rel = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
+    return {
+        "mxu2d_whiten20_ms": round(t_fused * 1e3, 1),
+        "mxu2d_whiten20_einsum_ms": round(t_einsum * 1e3, 1),
+        "mxu2d_whiten20_speedup": round(t_einsum / t_fused, 2),
+        "mxu2d_whiten20_rel_f64": rel,
+    }
 
 
 def run_guards(jax, jnp):
@@ -147,6 +254,13 @@ def run_guards(jax, jnp):
         all(v < GUARD_RTOL for k, v in guards.items() if k.endswith("_rel"))
     )
     return guards
+
+
+# the full 20-iteration f32 whitening solve vs its f64 oracle: the HIGH
+# transform policy's per-apply ~1e-5 compounds to ~1e-3 through truncated
+# PCG (RESULTS sec. 11 measured 7.5e-4 at the paper shape); the corruption
+# mode being guarded is ~0.3
+WHITEN_GUARD_RTOL = 5e-3
 
 
 def _gram_on_chip_rel(jax, jnp):
@@ -366,6 +480,12 @@ def main():
     ours_mc_s, _ = chain_time(ours_at_mc, bc, reps=5)
 
     guards = run_guards(jax, jnp)
+    fused2d = run_2d_fused(jax, jnp, chain_time)
+    guards["mxu2d_whiten20_rel_f64"] = fused2d.pop("mxu2d_whiten20_rel_f64")
+    guards["all_pass"] = bool(
+        guards["all_pass"]
+        and guards["mxu2d_whiten20_rel_f64"] < WHITEN_GUARD_RTOL
+    )
 
     print(
         json.dumps(
@@ -388,6 +508,7 @@ def main():
                 "pcg_skeleton_ms": round(skel_s * 1e3, 3),
                 "radix_bound_ms": round(radix_bound_ms, 1),
                 "at_radix_bound": bool(ours_ms <= 1.15 * radix_bound_ms),
+                **fused2d,
                 "guards": guards,
             }
         )
