@@ -405,6 +405,12 @@ USE_PALLAS_TRANSFORM = False
 # CG inner products from the applies, so it wins INSIDE the solve too.
 # Engages for 2-D f32 TPU solves in the matmul regime.
 USE_MXU2D_PCG = True
+# Fused 3-D sandwich PCG (ops/mxu3d.py + solve._mxu3d_solver): outer-axis
+# einsum + weight-plane-batched cropped 2-D kernel — the embedded (L1, L2)
+# planes never touch HBM and the CG dots ride the applies (~10 passes of
+# original-volume data per apply vs ~100 for the einsum chain over the 8x
+# embedded volume).  Engages for 3-D f32 TPU solves in the matmul regime.
+USE_MXU3D_PCG = True
 # The 1-D long-axis circulant apply DOES win from fusion: the three-stage
 # radix-128 DFT with a Pallas middle kernel (ops/radix_fft.py) runs the
 # 20-iteration whitening solve at 44.3 vs 59.0 ms against the XLA-FFT path

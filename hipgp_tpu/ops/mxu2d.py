@@ -45,7 +45,8 @@ import jax.numpy as jnp
 
 from .radix_fft import HIGH, HIGHEST, _bf16_split
 
-__all__ = ["sandwich_apply", "sandwich_apply_selfdot", "MXU2D_MAX_LEN"]
+__all__ = ["sandwich_apply", "sandwich_apply_selfdot", "sandwich_apply_wp",
+           "MXU2D_MAX_LEN"]
 
 # the five resident tables + a block of sample planes must fit scoped VMEM
 MXU2D_MAX_LEN = 512
@@ -205,6 +206,166 @@ def _pallas_sandwich(x, w, dims, edims, in_expanded, out_expanded, selfdot,
         y, dots = out
         return y[:B], dots.reshape(nb * S, 128)[:B, 0]
     return out[0][:B]
+
+
+def _make_kernel_wp(prec, S, selfdot):
+    """Weight-plane-batched variant of :func:`_make_kernel`: each grid step
+    applies ITS OWN (L0, L1) weight plane — the building block of the 3-D
+    sandwich (ops/mxu3d.py), where the outer-axis analysis turns one 3-D
+    sample into `L_outer` independent 2-D plane problems with per-plane
+    spectra w[l].  x blocks arrive as (S, 1, i0, i1) slices of the
+    (B, W, i0, i1) intermediate, so every element is still read exactly
+    once; only the resident weight plane changes along the W grid axis."""
+
+    def kernel(q0a_ref, q1a_ref, q0s_ref, q1s_ref, w_ref, x_ref, *out_refs):
+        y_ref = out_refs[0]
+        dt = x_ref.dtype
+        split, ldot, rdot = _dot_pair(prec, dt)
+        q0a = split(q0a_ref[...])   # (L0, i0)
+        q1a = split(q1a_ref[...])   # (i1, L1)
+        q0s = split(q0s_ref[...])   # (o0, L0)
+        q1s = split(q1s_ref[...])   # (L1, o1)
+        w = w_ref[0]                # (L0, L1) — this plane's spectrum
+        x4 = x_ref[...]             # (S, 1, i0, i1)
+        _, _, i0, i1 = x4.shape
+        x = x4.reshape(S, i0, i1)
+        L0, L1 = w.shape
+        o0, o1 = y_ref.shape[2], y_ref.shape[3]
+        u = rdot(x.reshape(S * i0, i1), q1a).reshape(S, i0, L1)
+        planes = []
+        for s in range(S):
+            a = ldot(q0a, u[s])
+            a = a * w
+            planes.append(ldot(q0s, a))
+        b = jnp.stack(planes)
+        y = rdot(b.reshape(S * o0, L1), q1s).reshape(S, 1, o0, o1)
+        y_ref[...] = y.astype(y_ref.dtype)
+        if selfdot:
+            dots_ref = out_refs[1]  # block (1, 1, S, 128)
+            sums = jnp.sum(jnp.sum(x * y.reshape(S, o0, o1).astype(dt),
+                                   axis=2), axis=1, keepdims=True)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1) == 0
+            dots_ref[0, 0] = jnp.where(lane0, sums, 0.0).astype(dt)
+
+    return kernel
+
+
+def _pallas_sandwich_wp(x, w, dims, edims, in_expanded, out_expanded,
+                        selfdot, prec, samples_per_block, interpret):
+    """x: (B, W, i0, i1) plane stack, w: (W, L0, L1) per-plane spectra.
+    Returns (B, W, o0, o1) (and, with ``selfdot``, the FULL stacked inner
+    product dots[b] = sum_w sum(x[b, w] * y[b, w]) — by orthonormality of
+    the outer-axis basis this equals the 3-D <x, y> the PCG needs)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = x.dtype
+    q0a, q1a, q0s, q1s, (i0, i1), (o0, o1) = _tables(
+        dims, edims, in_expanded, out_expanded, dtype
+    )
+    B, W = x.shape[:2]
+    S = _block_samples(edims, samples_per_block)
+    nb = -(-B // S)
+    pad = nb * S - B
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    const = lambda shape: pl.BlockSpec(shape, lambda l, b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    # grid (W, nb): the sample sweep is the inner loop, so the resident
+    # weight plane is re-fetched once per W step, not per block
+    wtile = pl.BlockSpec((1,) + w.shape[1:], lambda l, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM)
+    xtile = pl.BlockSpec((S, 1, i0, i1), lambda l, b: (b, l, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ytile = pl.BlockSpec((S, 1, o0, o1), lambda l, b: (b, l, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((nb * S, W, o0, o1), dtype)]
+    out_specs = [ytile]
+    if selfdot:
+        out_shapes.append(jax.ShapeDtypeStruct((W, nb, S, 128), dtype))
+        out_specs.append(pl.BlockSpec((1, 1, S, 128),
+                                      lambda l, b: (l, b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _make_kernel_wp(prec, S, selfdot),
+        grid=(W, nb),
+        in_specs=[const(q0a.shape), const(q1a.shape), const(q0s.shape),
+                  const(q1s.shape), wtile, xtile],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q0a, q1a, q0s, q1s, w, x)
+    if selfdot:
+        y, dots = out
+        dots = jnp.sum(dots[..., 0].reshape(W, nb * S)[:, :B], axis=0)
+        return y[:B], dots
+    return out[0][:B]
+
+
+def _analysis_einsum_wp(x, dims, edims, expanded, dtype):
+    """Per-plane Q^T P^T x[:, w] for (B, W, i0, i1) stacks (cold path)."""
+    from .bttb import _real_fourier_basis
+
+    (L0, L1) = edims
+    i0, i1 = edims if expanded else dims
+    Q0 = _real_fourier_basis(L0, dtype)
+    Q1 = _real_fourier_basis(L1, dtype)
+    a = jnp.einsum("bwij,jl->bwil", x, Q1[:i1], precision=HIGHEST)
+    return jnp.einsum("bwil,ik->bwkl", a, Q0[:i0], precision=HIGHEST)
+
+
+@functools.lru_cache(maxsize=64)
+def _get_sandwich_wp(dims, edims, in_expanded, out_expanded, dtype_name,
+                     prec, samples_per_block, interpret):
+    """custom_vjp-wrapped weight-plane-batched sandwich (x: (B, W, i0, i1),
+    w: (W, L0, L1)); same pullback structure as :func:`_get_sandwich`,
+    per plane."""
+
+    def impl(x, w):
+        return _pallas_sandwich_wp(x, w, dims, edims, in_expanded,
+                                   out_expanded, False, prec,
+                                   samples_per_block, interpret)
+
+    apply = jax.custom_vjp(impl)
+
+    def fwd(x, w):
+        return impl(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        pullback = _get_sandwich_wp(dims, edims, out_expanded, in_expanded,
+                                    dtype_name, prec, samples_per_block,
+                                    interpret)
+        gx = pullback(g, w)
+        ax = _analysis_einsum_wp(x, dims, edims, in_expanded, x.dtype)
+        ag = _analysis_einsum_wp(g, dims, edims, out_expanded, g.dtype)
+        gw = jnp.einsum("bwkl,bwkl->wkl", ax, ag, precision=HIGHEST)
+        return gx, gw
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def sandwich_apply_wp(x, w, dims, edims, *, in_expanded=False,
+                      out_expanded=False, precision=HIGH,
+                      samples_per_block=None, interpret=None, selfdot=False):
+    """Weight-plane-batched fused sandwich: y[b, l] = P_o (Q0 x Q1) diag(w[l])
+    (Q0 x Q1)^T P_i^T x[b, l] for a (B, W, i0, i1) plane stack with per-plane
+    spectra w (W, L0, L1).  Building block of the 3-D path (ops/mxu3d.py).
+
+    Differentiable in x and w unless ``selfdot`` (solver-internal), which
+    additionally returns dots[b] = sum_{l} <x[b, l], y[b, l]>."""
+    if selfdot:
+        return _pallas_sandwich_wp(x, w, tuple(dims), tuple(edims),
+                                   bool(in_expanded), bool(out_expanded),
+                                   True, precision, samples_per_block,
+                                   interpret)
+    return _get_sandwich_wp(tuple(dims), tuple(edims), bool(in_expanded),
+                            bool(out_expanded), jnp.dtype(x.dtype).name,
+                            precision, samples_per_block, interpret)(x, w)
 
 
 def _analysis_einsum(x, dims, edims, expanded, dtype):

@@ -166,21 +166,19 @@ def _mxu2d_solver_ok(spec: BTTBSpectrum, dtype) -> bool:
     return max(spec.edims) <= bttb.MATMUL_DFT_MAX_LEN
 
 
-def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
-    """PCG over (B, d0, d1) sample planes with the fused cropped sandwich
-    kernel (ops/mxu2d.py) and the CG inner products emitted per sample
-    from the applies — the 2-D analogue of `_planes_pcg_fused(_while)`.
-    Identical update order and guards to `cg.pcg / pcg_scan`."""
-    from .mxu2d import sandwich_apply_selfdot
-
-    def apply_dot(s, w):
-        return sandwich_apply_selfdot(s, w, dims, edims)
+def _fused_sandwich_pcg(apply_dot, s0, wK, wC, num_iters, tol, fixed_iters):
+    """PCG over (B, *grid) sample volumes with fused selfdot applies
+    (``apply_dot(s, w) -> (y, dots)``) — rank-generic core shared by the
+    2-D and 3-D fused solvers.  Identical update order and guards to
+    `cg.pcg / pcg_scan`."""
+    nd = s0.ndim - 1
+    ax = lambda a: a.reshape(a.shape + (1,) * nd)
+    red = tuple(range(-nd, 0))
 
     z, rz = apply_dot(s0, wC)
     x = jnp.zeros_like(s0)
     r = s0
     p = z
-    ax = lambda a: a[:, None, None]
 
     def step(x, r, p, rz):
         Ap, pAp = apply_dot(p, wK)
@@ -200,7 +198,7 @@ def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
         (x, *_), _ = lax.scan(body, (x, r, p, rz), None, length=num_iters)
         return x
 
-    rr = jnp.sum(r * r, axis=(-2, -1))
+    rr = jnp.sum(r * r, axis=red)
     tol_sq = jnp.asarray(tol, s0.dtype) ** 2
 
     def cond(carry):
@@ -214,7 +212,7 @@ def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
         alpha = jnp.where(safe, rz / jnp.where(safe, pAp, 1.0), 0.0)
         x = x + ax(alpha) * p
         r = r - ax(alpha) * Ap
-        rr = jnp.sum(r * r, axis=(-2, -1))
+        rr = jnp.sum(r * r, axis=red)
         z, rz_new = apply_dot(r, wC)
         beta = jnp.where(safe, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + ax(beta) * p
@@ -223,6 +221,19 @@ def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
     k0 = jnp.asarray(0, jnp.int32)
     _, x, *_ = lax.while_loop(cond, body, (k0, x, r, p, rz, rr))
     return x
+
+
+def _mxu2d_pcg(s0, wK, wC, dims, edims, num_iters, tol, fixed_iters):
+    """PCG over (B, d0, d1) sample planes with the fused cropped sandwich
+    kernel (ops/mxu2d.py) and the CG inner products emitted per sample
+    from the applies — the 2-D analogue of `_planes_pcg_fused(_while)`."""
+    from .mxu2d import sandwich_apply_selfdot
+
+    def apply_dot(s, w):
+        return sandwich_apply_selfdot(s, w, dims, edims)
+
+    return _fused_sandwich_pcg(apply_dot, s0, wK, wC, num_iters, tol,
+                               fixed_iters)
 
 
 def _mxu2d_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
@@ -244,6 +255,66 @@ def _mxu2d_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
         batch = b.shape[:-1]
         s0 = b.reshape((-1,) + dims)
         x = _mxu2d_pcg(s0, wK, wC, dims, edims, maxiter, tol, fixed_iters)
+        return x.reshape(batch + (M,))
+
+    return solver
+
+
+def _mxu3d_solver_ok(spec: BTTBSpectrum, dtype) -> bool:
+    """True when the fused 3-D sandwich PCG path applies: 3-D grid in the
+    MXU matmul-transform regime (every embedded axis <= MATMUL_DFT_MAX_LEN),
+    f32, on the TPU backend."""
+    from . import bttb
+
+    if len(spec.dims) != 3 or dtype != jnp.float32:
+        return False
+    if not bttb.USE_MXU3D_PCG or jax.default_backend() != "tpu":
+        return False
+    if min(spec.edims) <= 1:
+        return False
+    return max(spec.edims) <= bttb.MATMUL_DFT_MAX_LEN
+
+
+def _inv_perm(perm):
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
+def _mxu3d_solver(spec: BTTBSpectrum, maxiter: int, tol: float,
+                  fixed_iters: bool):
+    """PCG solver over (B, d0, d1, d2) sample volumes for the 3-D matmul-
+    basis regime (ops/mxu3d.py): the outer axis rides relayout-free einsum
+    dots, the inner (L1, L2) embedded planes live only in VMEM, and both CG
+    dots ride the applies.  State is permuted ONCE per solve into the
+    kernel-friendly order (smallest embedded axis outer, largest lane) —
+    never per apply.  Used as the `lax.custom_linear_solve` solver, so
+    gradients never trace it."""
+    from .bttb import _full_weights
+    from .mxu3d import best_perm, sandwich_apply_3d_selfdot
+
+    dims, edims = spec.dims, spec.edims
+    M = spec.M
+    perm = best_perm(edims)
+    inv = _inv_perm(perm)
+    pdims = tuple(dims[a] for a in perm)
+    pedims = tuple(edims[a] for a in perm)
+
+    def solver(_matvec, b):
+        wfull = _full_weights(spec.eigs, edims[-1])
+        wK = jnp.transpose(wfull, perm)
+        wC = 1.0 / wK
+        batch = b.shape[:-1]
+        s0 = b.reshape((-1,) + dims).transpose(
+            (0,) + tuple(a + 1 for a in perm))
+
+        def apply_dot(s, w):
+            return sandwich_apply_3d_selfdot(s, w, pdims, pedims)
+
+        x = _fused_sandwich_pcg(apply_dot, s0, wK, wC, maxiter, tol,
+                                fixed_iters)
+        x = x.transpose((0,) + tuple(a + 1 for a in inv))
         return x.reshape(batch + (M,))
 
     return solver
@@ -356,6 +427,8 @@ def inv_matmul(
         solver = _planes_solver(spec, maxiter, tol, fixed_iters)
     elif do_precond and _mxu2d_solver_ok(spec, rhs.dtype):
         solver = _mxu2d_solver(spec, maxiter, tol, fixed_iters)
+    elif do_precond and _mxu3d_solver_ok(spec, rhs.dtype):
+        solver = _mxu3d_solver(spec, maxiter, tol, fixed_iters)
     else:
 
         def solver(matvec, b):
@@ -396,6 +469,8 @@ def whiten(
         return _rt_planes(spec, d)
     if _mxu2d_solver_ok(spec, d.dtype):
         return _rt_mxu2d(spec, d)
+    if _mxu3d_solver_ok(spec, d.dtype):
+        return _rt_mxu3d(spec, d)
     return matmul_by_RT(spec, d)
 
 
@@ -413,6 +488,29 @@ def _rt_mxu2d(spec: BTTBSpectrum, d: jnp.ndarray) -> jnp.ndarray:
     batch = d.shape[:-1]
     y = sandwich_apply(d.reshape((-1,) + dims), w, dims, edims,
                        out_expanded=True)
+    return y.reshape(batch + (spec.Mprime,))
+
+
+def _rt_mxu3d(spec: BTTBSpectrum, d: jnp.ndarray) -> jnp.ndarray:
+    """R^T @ d through the fused 3-D sandwich: (..., M) -> (..., M').
+
+    Same operator as `matmul_by_RT`; the kernel-order permutation is undone
+    on the expanded output so the whitened layout matches the einsum path
+    exactly.  Differentiable (einsum outer + custom-VJP plane kernel)."""
+    from .bttb import _full_weights
+    from .mxu3d import best_perm, sandwich_apply_3d
+
+    dims, edims = spec.dims, spec.edims
+    perm = best_perm(edims)
+    inv = _inv_perm(perm)
+    pdims = tuple(dims[a] for a in perm)
+    pedims = tuple(edims[a] for a in perm)
+    w = jnp.transpose(
+        jnp.sqrt(_full_weights(spec.eigs, edims[-1])), perm)
+    batch = d.shape[:-1]
+    x = d.reshape((-1,) + dims).transpose((0,) + tuple(a + 1 for a in perm))
+    y = sandwich_apply_3d(x, w, pdims, pedims, out_expanded=True)
+    y = y.transpose((0,) + tuple(a + 1 for a in inv))
     return y.reshape(batch + (spec.Mprime,))
 
 
