@@ -36,6 +36,11 @@ Prints ONE JSON line.  Fields beyond the driver contract
   (ops/mxu2d.py) vs the einsum chain, with the full 20-iteration solve
   anchored against an f64 numpy PCG+R^T oracle
   (``guards.mxu2d_whiten20_rel_f64``, threshold ``WHITEN_GUARD_RTOL``).
+* ``mxu3d_whiten20_ms`` / ``..._einsum_ms`` / ``..._speedup`` — the 3-D
+  regime of the dust-map flagship (M = 64x64x32 = 131k, batch 64): the
+  fused outer-axis + weight-plane sandwich PCG (ops/mxu3d.py) vs the
+  einsum chain, anchored by the same f64 full-solve oracle
+  (``guards.mxu3d_whiten20_rel_f64``).
 * ``guards`` — on-chip numerics regression checks (f32 device vs f64 numpy
   oracles) for the three measured v5e cliffs encoded in `ops/bttb.py`:
   the MXU matmul-basis transform, the long-axis packed-FFT path, and the
@@ -188,6 +193,61 @@ def run_2d_fused(jax, jnp, chain_fn):
         "mxu2d_whiten20_einsum_ms": round(t_einsum * 1e3, 1),
         "mxu2d_whiten20_speedup": round(t_einsum / t_fused, 2),
         "mxu2d_whiten20_rel_f64": rel,
+    }
+
+
+def run_3d_fused(jax, jnp, chain_fn):
+    """The 3-D regime of the paper's flagship dust-map experiment
+    (sec. 5.5): M = 64x64x32 = 131k inducing points, batch 64, Matern-3/2,
+    20-iteration whitening PCG.  Fused outer-axis-einsum + weight-plane
+    Pallas sandwich (ops/mxu3d.py) vs the einsum chain, anchored against
+    the same f64 numpy full-solve oracle as the 2-D regime (the oracle is
+    dimension-generic).  Round-4 measured 98 ms fused / 213 ms einsum."""
+    from hipgp_tpu.kernels import Matern
+    from hipgp_tpu.ops import bttb, make_spectrum, whiten
+
+    dims, B, MAXITER = (64, 64, 32), 64, 20
+    sig2, ell, jitter = 0.1, 0.1, 1e-3
+    dtype = jnp.float32
+    grids = [jnp.linspace(0.0, 1.0, m, dtype=dtype) for m in dims]
+    kern = Matern(1.5)
+    kfun = lambda a, b: kern(a, b, (sig2, ell))
+    spec = jax.block_until_ready(
+        jax.jit(lambda: make_spectrum(grids, kfun, jitter=jitter))()
+    )
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.standard_normal((B, spec.M)), dtype)
+
+    fused_prev = bttb.USE_MXU3D_PCG
+    try:
+        bttb.USE_MXU3D_PCG = True
+        f_fused = jax.jit(
+            lambda v: whiten(spec, v, maxiter=MAXITER, tol=0.0,
+                             fixed_iters=True)
+        )
+        t_fused, kn_fused = chain_fn(f_fused, v, reps=5)
+        bttb.USE_MXU3D_PCG = False
+        f_einsum = jax.jit(
+            lambda v: whiten(spec, v, maxiter=MAXITER, tol=0.0,
+                             fixed_iters=True)
+        )
+        t_einsum, _ = chain_fn(f_einsum, v, reps=5)
+    finally:
+        bttb.USE_MXU3D_PCG = fused_prev
+
+    # f64 absolute anchor at a small batch (numpy cost, not device cost)
+    nb = 4
+    vb = np.asarray(v[:nb], np.float32)
+    hs = [1.0 / (m - 1) for m in dims]
+    want = numpy_whiten_oracle_2d(spec.dims, spec.edims, hs, sig2, ell,
+                                  jitter, vb, MAXITER)
+    got = np.asarray(kn_fused[:nb], np.float64)
+    rel = float(np.max(np.abs(got - want)) / np.max(np.abs(want)))
+    return {
+        "mxu3d_whiten20_ms": round(t_fused * 1e3, 1),
+        "mxu3d_whiten20_einsum_ms": round(t_einsum * 1e3, 1),
+        "mxu3d_whiten20_speedup": round(t_einsum / t_fused, 2),
+        "mxu3d_whiten20_rel_f64": rel,
     }
 
 
@@ -482,9 +542,12 @@ def main():
     guards = run_guards(jax, jnp)
     fused2d = run_2d_fused(jax, jnp, chain_time)
     guards["mxu2d_whiten20_rel_f64"] = fused2d.pop("mxu2d_whiten20_rel_f64")
+    fused3d = run_3d_fused(jax, jnp, chain_time)
+    guards["mxu3d_whiten20_rel_f64"] = fused3d.pop("mxu3d_whiten20_rel_f64")
     guards["all_pass"] = bool(
         guards["all_pass"]
         and guards["mxu2d_whiten20_rel_f64"] < WHITEN_GUARD_RTOL
+        and guards["mxu3d_whiten20_rel_f64"] < WHITEN_GUARD_RTOL
     )
 
     print(
@@ -509,6 +572,7 @@ def main():
                 "radix_bound_ms": round(radix_bound_ms, 1),
                 "at_radix_bound": bool(ours_ms <= 1.15 * radix_bound_ms),
                 **fused2d,
+                **fused3d,
                 "guards": guards,
             }
         )

@@ -208,7 +208,23 @@ def _pallas_sandwich(x, w, dims, edims, in_expanded, out_expanded, selfdot,
     return out[0][:B]
 
 
-def _make_kernel_wp(prec, S, selfdot):
+# Sample-merged middle contractions for the weight-plane kernel: in-VMEM
+# leading-axis transposes turn the 2S per-sample middle dots into 2 large
+# ones per block.  The 2-D kernel's equivalent (MERGED_MIDDLE) measured
+# SLOWER at the 3droad shape, but the wp kernel's verdict INVERTS: its
+# per-plane middle dots are small enough that issue latency dominates, and
+# merging measured 123.6 -> 105.7 ms on the (64, 64, 32) whiten-20 at B=64
+# (bit-identical output; results/repro/mxu3d_ab.py).  Requires lane-aligned
+# L1; non-aligned shapes silently take the per-sample loop.
+WP_MERGED_MIDDLE = True
+# The wp kernel also prefers LARGER sample blocks than the 2-D kernel: the
+# resident weight plane is re-fetched once per W step, so more samples per
+# block amortize it.  S=32: 99.7 ms vs 105.7 at S=8 on the shape above
+# (S=64 exceeds scoped VMEM; _block_samples clamps to the budget anyway).
+WP_SAMPLES_PER_BLOCK = 32
+
+
+def _make_kernel_wp(prec, S, selfdot, merged=False):
     """Weight-plane-batched variant of :func:`_make_kernel`: each grid step
     applies ITS OWN (L0, L1) weight plane — the building block of the 3-D
     sandwich (ops/mxu3d.py), where the outer-axis analysis turns one 3-D
@@ -232,12 +248,19 @@ def _make_kernel_wp(prec, S, selfdot):
         L0, L1 = w.shape
         o0, o1 = y_ref.shape[2], y_ref.shape[3]
         u = rdot(x.reshape(S * i0, i1), q1a).reshape(S, i0, L1)
-        planes = []
-        for s in range(S):
-            a = ldot(q0a, u[s])
-            a = a * w
-            planes.append(ldot(q0s, a))
-        b = jnp.stack(planes)
+        if merged and L1 % 128 == 0:
+            uc = u.transpose(1, 0, 2).reshape(i0, S * L1)
+            ac = ldot(q0a, uc)                       # (L0, S*L1)
+            ac = ac * jnp.tile(w, (1, S)).reshape(L0, S * L1)
+            bc = ldot(q0s, ac)                       # (o0, S*L1)
+            b = bc.reshape(o0, S, L1).transpose(1, 0, 2)
+        else:
+            planes = []
+            for s in range(S):
+                a = ldot(q0a, u[s])
+                a = a * w
+                planes.append(ldot(q0s, a))
+            b = jnp.stack(planes)
         y = rdot(b.reshape(S * o0, L1), q1s).reshape(S, 1, o0, o1)
         y_ref[...] = y.astype(y_ref.dtype)
         if selfdot:
@@ -264,6 +287,8 @@ def _pallas_sandwich_wp(x, w, dims, edims, in_expanded, out_expanded,
         dims, edims, in_expanded, out_expanded, dtype
     )
     B, W = x.shape[:2]
+    if samples_per_block is None:
+        samples_per_block = WP_SAMPLES_PER_BLOCK
     S = _block_samples(edims, samples_per_block)
     nb = -(-B // S)
     pad = nb * S - B
@@ -290,7 +315,7 @@ def _pallas_sandwich_wp(x, w, dims, edims, in_expanded, out_expanded,
                                       lambda l, b: (l, b, 0, 0),
                                       memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        _make_kernel_wp(prec, S, selfdot),
+        _make_kernel_wp(prec, S, selfdot, merged=WP_MERGED_MIDDLE),
         grid=(W, nb),
         in_specs=[const(q0a.shape), const(q1a.shape), const(q0s.shape),
                   const(q1s.shape), wtile, xtile],
