@@ -23,7 +23,9 @@ This path factors the sandwich through the outer axis:
   product by orthonormality of Q0).
 
 Net HBM traffic per apply: ~10 passes of original-volume data vs the einsum
-chain's ~100 — measured 6.65x faster inside the whiten (RESULTS sec. 14).
+chain's ~100.  Measured end-to-end: whiten-20 at M = 64x64x32, batch 64 runs
+2.17x faster than the einsum chain (97.6 vs 212.3 ms, BENCH_r04
+``mxu3d_whiten20_speedup``; per-stage account in RESULTS sec. 14).
 
 Axis order matters: callers permute so the SMALLEST embedded axis is the
 outer (einsum) axis and the largest is the lane axis (`best_perm`); the
