@@ -69,7 +69,10 @@ def main(argv=None):
     p.add_argument("--maxiter-cg", type=int, default=20)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--kernel-lr", type=float, default=1e-3)
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
+    p.add_argument("--mean-solver", default="dense",
+                   choices=["dense", "cg", "gram", "factored", "matfree"])
+    p.add_argument("--parallel", default=None, choices=["dp", "mp"],
+                   help="fit over the device mesh (dp: data, mp: grid)")
     p.add_argument("--learn-kernel", action="store_true",
                    help="learn hyperparameters (uses cholesky whitening, as"
                         " the reference requires for this protocol)")
@@ -127,6 +130,7 @@ def main(argv=None):
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
         mean_solver=args.mean_solver,
+        parallel=args.parallel,
         batch_solve_bsz=args.batch_size,
         xvalid=x[va], fvalid=(ftrue[va] if ftrue is not None else y[va]),
         xtest=x[te], ftest=(ftrue[te] if ftrue is not None else y[te]),

@@ -89,6 +89,14 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--maxiter-cg", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-2,
+                   help="natgrad step size (`run_domain_experiment.py:63`)")
+    p.add_argument("--mean-solver", default="dense",
+                   choices=["dense", "cg", "gram", "factored", "matfree"],
+                   help="full-batch mean solve; 'gram' beyond M' ~ 16k,"
+                        " 'matfree' beyond M ~ 40k (no M x M resident)")
+    p.add_argument("--parallel", default=None, choices=["dp", "mp"],
+                   help="fit over the device mesh (dp: data, mp: grid)")
     p.add_argument("--ntest", type=int, default=500)
     p.add_argument("--eval-grid", type=int, default=20,
                    help="xy eval grid size at the z=0 slice")
@@ -177,7 +185,7 @@ def main(argv=None):
 
     cfg = FitConfig(
         epochs=args.epochs, batch_size=args.batch_size,
-        maxiter_cg=args.maxiter_cg, integrated_obs=True,
+        maxiter_cg=args.maxiter_cg, integrated_obs=True, lr=args.lr,
         semi_integrated_estimator="analytic" if args.kernel == "SqExp" else "mc-biased",
     )
 
@@ -192,6 +200,12 @@ def main(argv=None):
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
         batch_solve_bsz=args.batch_size,
+        mean_solver=args.mean_solver,
+        # natgrad at paper-scale 3-D grids sits near the stability limit
+        # (RESULTS sec. 12): warm-start theta2 and clamp to the safe lr
+        theta2_warmstart=args.fit_method == "natgrad",
+        natgrad_safe_lr="clamp",
+        parallel=args.parallel,
         xtest=xtest, etest=etest, ftest=ftest,
         xgrid=xgrid, fgrid=fgrid,
         grid_shape=(args.eval_grid, args.eval_grid),

@@ -129,7 +129,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--maxiter-cg", type=int, default=20)
-    p.add_argument("--mean-solver", default="dense", choices=["dense", "cg", "gram", "factored"])
+    p.add_argument("--mean-solver", default="dense",
+                   choices=["dense", "cg", "gram", "factored", "matfree"])
+    p.add_argument("--parallel", default=None, choices=["dp", "mp"],
+                   help="fit over the device mesh (dp: data, mp: grid)")
     p.add_argument("--output-dir", default="./output-ukhousing")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -175,6 +178,7 @@ def main(argv=None):
         fit_config=cfg,
         maxiter_cg=args.maxiter_cg,
         mean_solver=args.mean_solver,
+        parallel=args.parallel,
         batch_solve_bsz=args.batch_size,
         xtest=xtest, ftest=ftest,
         output_dir=args.output_dir,

@@ -42,9 +42,10 @@ def prefer_eager_batch_solve(mean_solver: str) -> bool:
     only a handful of dispatch latencies and avoids both the pathology and
     the minutes-long whole-program compile.  The 'factored' solver shares
     the staged structure (accumulate / factor / whiten / mean solve) and
-    runs eager for the same reason.
+    runs eager for the same reason.  'matfree' is eager BY CONSTRUCTION:
+    its mean CG is a host-driven loop of bounded matvec dispatches.
     """
-    return mean_solver in ("gram", "factored")
+    return mean_solver in ("gram", "factored", "matfree")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -564,10 +565,19 @@ def ell_fit(
     semi_integrated_estimator: str = "analytic",
     semi_integrated_samps: int = 10,
     verbose: bool = True,
+    parallel: Optional[str] = None,
+    mesh=None,
     **solve_kwargs,
 ):
     """Grid-search the lengthscale by closed-form batch_solve ELBO
     (`ziggy/svi_gp.py:131-169`).  One compile; ell is a traced argument.
+
+    ``parallel``: route each candidate's solve over a device mesh —
+    'dp' shards the data sweep (`dp_batch_solve`, any family), 'mp'
+    shards the whitened state and solve over a 'grid' axis
+    (`mp_batch_solve`, mean-field/block; the model must be built with
+    matching ``grid_shards``).  Default mesh as in the harness: all
+    devices on 'dp', or a (1, n_devices) ('dp', 'grid') mesh for 'mp'.
 
     Returns (best_state, best_ell, ell_list, elbo_list).
     """
@@ -575,23 +585,68 @@ def ell_fit(
     y = jnp.asarray(yobs, model.dtype)
     s = jnp.asarray(sobs, model.dtype) if sobs is not None else None
 
-    def solve_at_eager(log_ell):
-        st = state.replace(log_ell=jnp.asarray(log_ell, model.dtype))
-        return model.batch_solve(
-            st, x, y, s,
-            batch_size=batch_solve_bsz,
-            maxiter_cg=maxiter_cg,
-            integrated_obs=integrated_obs,
-            semi_integrated_estimator=semi_integrated_estimator,
-            semi_integrated_samps=semi_integrated_samps,
-            compute_elbo=True,
-            **solve_kwargs,
-        )
+    if parallel not in (None, "dp", "mp"):
+        raise ValueError(f"parallel={parallel!r}; choose None | 'dp' | 'mp'")
+    if parallel and mesh is None:
+        from jax.sharding import Mesh as _Mesh
 
-    if prefer_eager_batch_solve(solve_kwargs.get("mean_solver", "dense")):
-        solve_at = solve_at_eager
+        devs = np.array(jax.devices())
+        mesh = (_Mesh(devs, ("dp",)) if parallel == "dp"
+                else _Mesh(devs.reshape(1, -1), ("dp", "grid")))
+
+    if parallel == "dp":
+        from ..parallel import dp_batch_solve
+
+        def solve_at(log_ell):
+            st = state.replace(log_ell=jnp.asarray(log_ell, model.dtype))
+            return dp_batch_solve(
+                model, st, x, y, s, mesh,
+                batch_size=batch_solve_bsz,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                compute_elbo=True,
+            )
+    elif parallel == "mp":
+        from ..parallel import mp_batch_solve, mp_shard_state
+
+        sharded = mp_shard_state(state, mesh)
+
+        def solve_at(log_ell):
+            st = sharded.replace(log_ell=jnp.asarray(log_ell, model.dtype))
+            return mp_batch_solve(
+                model, st, x, y, s, mesh,
+                batch_size=(batch_solve_bsz if batch_solve_bsz > 0
+                            else x.shape[0]),
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                compute_elbo=True,
+                **({"mean_solver": solve_kwargs["mean_solver"]}
+                   if solve_kwargs.get("mean_solver") in ("gram", "factored")
+                   else {}),
+            )
     else:
-        solve_at = jax.jit(solve_at_eager)
+
+        def solve_at_eager(log_ell):
+            st = state.replace(log_ell=jnp.asarray(log_ell, model.dtype))
+            return model.batch_solve(
+                st, x, y, s,
+                batch_size=batch_solve_bsz,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                compute_elbo=True,
+                **solve_kwargs,
+            )
+
+        if prefer_eager_batch_solve(solve_kwargs.get("mean_solver", "dense")):
+            solve_at = solve_at_eager
+        else:
+            solve_at = jax.jit(solve_at_eager)
 
     ells = np.arange(ell_min, ell_max + ell_step_size, ell_step_size)
     best = (-np.inf, None, None)

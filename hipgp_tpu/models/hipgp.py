@@ -1160,6 +1160,195 @@ class HIPGP:
                                  qm, qS)
         return new_state, elbo
 
+    def _matfree_stage_fns(self, cfg):
+        """Memoized jitted stages for the matrix-free 'matfree' solver —
+        same staging rationale as `_gram_stage_fns`."""
+        cache = self.__dict__.setdefault("_matfree_jit_cache", {})
+        if cfg in cache:
+            return cache[cfg]
+        (maxiter_cg, integrated_obs, semi_integrated_estimator,
+         semi_integrated_samps, N) = cfg
+
+        def sweep(carry0, state, spec, xp, yp, w, keys, nsp):
+            # the gram sweep minus its M x M accumulator: matfree exists
+            # because A cannot be HBM-resident at paper-scale 3-D grids
+            # (64x64x32 -> A = 68 GB)
+            def body(carry, inp):
+                lam, bm, sy2, sKnn, sknkn, slog = carry
+                xb, yb, wb, kb, nsb = inp
+                Knm, Knn = self.make_grams(
+                    state, xb, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, kb,
+                )
+                kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg,
+                                     spec=spec)
+                yv = yb.reshape(-1)
+                ivar = wb / (nsb * nsb)
+                logs = jnp.log(nsb)
+                lam = lam + self.get_lam(ivar, kn, bscale=1.0,
+                                         add_identity=False)
+                bm = bm + jnp.einsum("bi,b->i", Knm, ivar * yv,
+                                     precision=jax.lax.Precision.HIGHEST)
+                sy2 = sy2 + jnp.sum(ivar * yv * yv)
+                sKnn = sKnn + jnp.sum(ivar * Knn.reshape(-1))
+                sknkn = sknkn + jnp.sum(ivar * jnp.sum(kn * kn, axis=-1))
+                slog = slog + jnp.sum(wb * (-logs - 0.5 * LN2PI))
+                return (lam, bm, sy2, sKnn, sknkn, slog), None
+
+            return jax.lax.scan(body, carry0, (xp, yp, w, keys, nsp))[0]
+
+        def a_mv(acc, state, xp, w, keys, nsp, v):
+            """acc + sum_n Knm_n (Knm_n . v) / s_n^2 over this chunk of
+            batches — the data-Gram matvec with Knm recomputed on the fly
+            (HIGHEST: information-form accumulation feeding the mean)."""
+            def body(a, inp):
+                xb, wb, kb, nsb = inp
+                Knm, _ = self.make_grams(
+                    state, xb, integrated_obs, semi_integrated_estimator,
+                    semi_integrated_samps, kb,
+                )
+                u = (wb / (nsb * nsb)) * jnp.einsum(
+                    "bi,i->b", Knm, v, precision=jax.lax.Precision.HIGHEST)
+                return a + jnp.einsum(
+                    "bi,b->i", Knm, u,
+                    precision=jax.lax.Precision.HIGHEST), None
+
+            return jax.lax.scan(body, acc, (xp, w, keys, nsp))[0]
+
+        def kv(spec, v):
+            return matmul_by_K(spec, v[None, :])[0]
+
+        def pcg_update(spec, z, r, p, rz, Ap, rtol2):
+            """One preconditioned-CG update given the already-computed
+            (K + A) p; returns the new state and a host-checkable done
+            flag (||r||^2 <= rtol2)."""
+            alpha = rz / jnp.vdot(p, Ap)
+            z2 = z + alpha * p
+            r2 = r - alpha * Ap
+            y = matmul_by_Cinv(spec, r2[None, :])[0]
+            rz2 = jnp.vdot(r2, y)
+            p2 = y + (rz2 / rz) * p
+            return z2, r2, p2, rz2, jnp.sum(r2 * r2) <= rtol2
+
+        def pcg_init(spec, bm):
+            y = matmul_by_Cinv(spec, bm[None, :])[0]
+            return jnp.zeros_like(bm), bm, y, jnp.vdot(bm, y), jnp.sum(bm * bm)
+
+        def finish(spec, z):
+            return matmul_by_RT(spec, z)
+
+        def elbo_stage(z, Az, bm, sy2, sKnn, sknkn, slog, lam, qm, qS):
+            # identical algebra to the 'gram' elbo_stage with z^T A z
+            # precomputed (Az is the solver's final data-Gram matvec)
+            zv = z.reshape(-1)
+            quad = zv @ Az - 2.0 * (zv @ bm) + sy2
+            sSkn = jnp.sum(qS * lam)
+            total_an = -0.5 * (quad + sKnn - sknkn + sSkn) + slog
+            return total_an / N - self.kl_to_prior(qm, qS) / self.N
+
+        fns = {
+            "sweep": jax.jit(sweep, donate_argnums=(0,)),
+            "a_mv": jax.jit(a_mv, donate_argnums=(0,)),
+            "kv": jax.jit(kv),
+            "pcg_update": jax.jit(pcg_update, donate_argnums=(1, 2, 3)),
+            "pcg_init": jax.jit(pcg_init),
+            "finish": jax.jit(finish),
+            "elbo_stage": jax.jit(elbo_stage),
+        }
+        cache[cfg] = fns
+        return fns
+
+    def _matfree_gram_mv(self, fns, state, xp, w, keys, nsp):
+        """The (K + A) matvec as chunked eager dispatches (each bounded by
+        GRAM_SWEEP_MAX_BATCHES batches — the same watchdog bound as the
+        gram sweep)."""
+        nb = xp.shape[0]
+        chunk = max(1, min(nb, GRAM_SWEEP_MAX_BATCHES))
+
+        def a_only(v):
+            acc = jnp.zeros_like(v)
+            for i in range(0, nb, chunk):
+                s = slice(i, i + chunk)
+                acc = fns["a_mv"](acc, state, xp[s], w[s], keys[s], nsp[s], v)
+            return acc
+
+        def mv(spec, v):
+            return fns["kv"](spec, v) + a_only(v)
+
+        return mv, a_only
+
+    def _batch_solve_matfree(
+        self, state, spec, xp, yp, w, keys, nsp, N, *,
+        maxiter_cg, integrated_obs, semi_integrated_estimator,
+        semi_integrated_samps, mean_solver_maxiter, mean_solver_tol,
+        compute_elbo,
+    ):
+        """Matrix-free 'gram' (mean-field/block): the Woodbury mean
+        m = R (K + A)^{-1} b_m is solved WITHOUT materializing the M x M
+        data Gram — each CG iteration applies A by re-sweeping the data in
+        bounded chunks, recomputing Knm on the fly.  O(M + bsz*M) memory:
+        the only path that runs full-batch at paper-scale 3-D grids
+        (M = 64x64x32 = 131k, where A alone would be 68 GB).  The CG loop
+        is host-driven (one matvec dispatch + one update dispatch per
+        iteration), so no single dispatch exceeds the TPU watchdog.
+
+        Reference semantics: `ziggy/hipgp.py:278-368` (same closed-form
+        optimum; the reference's dense big_lam caps it at M' ~ 16k).
+        """
+        if self.whitened_type != "ziggy":
+            raise ValueError("mean_solver='matfree' requires ziggy whitening")
+        dtype = self.dtype
+        if nsp is None:
+            nsp = jnp.exp(0.5 * state.log_noise2) * jnp.ones_like(w)
+        fns = self._matfree_stage_fns(
+            (maxiter_cg, integrated_obs, semi_integrated_estimator,
+             semi_integrated_samps, N)
+        )
+        nb = xp.shape[0]
+        nchunks = -(-nb // max(1, min(nb, GRAM_SWEEP_MAX_BATCHES)))
+        chunk = -(-nb // nchunks)
+        pad = (-nb) % chunk
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            xp, keys = rep(xp), rep(keys)
+            yp = jnp.concatenate([yp, jnp.zeros((pad,) + yp.shape[1:], dtype)])
+            w = jnp.concatenate([w, jnp.zeros((pad,) + w.shape[1:], dtype)])
+            nsp = jnp.concatenate([nsp, jnp.ones((pad,) + nsp.shape[1:], dtype)])
+        zero = lambda: jnp.zeros((), dtype)
+        lam0 = jax.tree.map(
+            jnp.zeros_like,
+            self.get_lam(jnp.zeros((1,), dtype),
+                         jnp.zeros((1, self.Mprime), dtype),
+                         add_identity=False),
+        )
+        carry = (lam0, jnp.zeros((self.M,), dtype),
+                 zero(), zero(), zero(), zero())
+        for i in range(0, xp.shape[0], chunk):
+            s = slice(i, i + chunk)
+            carry = fns["sweep"](carry, state, spec, xp[s], yp[s], w[s],
+                                 keys[s], nsp[s])
+        lam, bm, sy2, sKnn, sknkn, slog = carry
+
+        mv, a_only = self._matfree_gram_mv(fns, state, xp, w, keys, nsp)
+        z, r, p, rz, b2 = fns["pcg_init"](spec, bm)
+        rtol2 = jnp.asarray(mean_solver_tol, dtype) ** 2 * b2
+        for _ in range(mean_solver_maxiter):
+            Ap = mv(spec, p)
+            z, r, p, rz, done = fns["pcg_update"](spec, z, r, p, rz, Ap,
+                                                  rtol2)
+            if bool(done):
+                break
+        mhat = fns["finish"](spec, z)
+        new_state = self._state_from_lam_mhat(state, lam, mhat)
+        if not compute_elbo:
+            return new_state
+        Az = a_only(z)
+        qm, qS = self.standard_params(new_state)
+        elbo = fns["elbo_stage"](z, Az, bm, sy2, sKnn, sknkn, slog, lam,
+                                 qm, qS)
+        return new_state, elbo
+
     def batch_solve(
         self,
         state: HIPGPState,
@@ -1210,8 +1399,14 @@ class HIPGP:
           of choice when N >> M (measured ~6x on the 3droad M=128^2
           protocol, RESULTS.md).
 
+        * 'matfree' is 'gram' without the resident A: each mean-CG
+          iteration re-applies the data Gram by sweeping the data in
+          bounded chunks, recomputing Knm on the fly (O(M + bsz*M)
+          memory) — see `_batch_solve_matfree`.
+
         Crossover on one 16 GB chip: 'dense' to M' ~ 16k, 'gram'/'factored'
-        to M ~ 40k (A is M^2), 'cg' when M is huge but N x M' fits.
+        to M ~ 40k (A is M^2), 'cg' when M is huge but N x M' fits,
+        'matfree' beyond all of those (paper-scale 3-D grids).
         """
         N = xobs.shape[0]
         y = yobs.reshape(-1)
@@ -1263,6 +1458,18 @@ class HIPGP:
                 )
                 mean_solver = "gram"
 
+        if mean_solver == "matfree" and self.family != "full-rank":
+            return self._batch_solve_matfree(
+                state, spec, xp, yp, w, keys, nsp, N,
+                maxiter_cg=maxiter_cg,
+                integrated_obs=integrated_obs,
+                semi_integrated_estimator=semi_integrated_estimator,
+                semi_integrated_samps=semi_integrated_samps,
+                mean_solver_maxiter=mean_solver_maxiter,
+                mean_solver_tol=mean_solver_tol,
+                compute_elbo=compute_elbo,
+            )
+
         if mean_solver == "gram" and self.family != "full-rank":
             return self._batch_solve_gram(
                 state, spec, xp, yp, w, keys, nsp, N,
@@ -1286,7 +1493,7 @@ class HIPGP:
                 kn = self.compute_kn(state, Knm, maxiter_cg=maxiter_cg)
             return kn, Knn_diag
 
-        if mean_solver not in ("dense", "cg", "gram", "factored"):
+        if mean_solver not in ("dense", "cg", "gram", "factored", "matfree"):
             raise ValueError(f"mean_solver={mean_solver!r}")
         need_big = self.family != "full-rank" and mean_solver == "dense"
         collect_kn = self.family != "full-rank" and mean_solver == "cg"

@@ -151,12 +151,17 @@ def _tables(dims, edims, in_expanded, out_expanded, dtype):
     return Q0[:i0].T, Q1[:i1], Q0[:o0], Q1[:o1].T, (i0, i1), (o0, o1)
 
 
-def _block_samples(edims, requested):
-    """Samples per block: the (L0, L1) embedded plane plus dot intermediates
-    per sample must fit VMEM next to the resident tables."""
+def _block_samples(edims, requested, planes=2):
+    """Samples per block: ``planes`` (L0, L1)-plane-equivalents of per-sample
+    intermediates must fit VMEM next to the resident tables.  The 2-D kernel
+    holds ~2 plane-equivalents live per sample; the wp kernel's merged path
+    materializes the (L0, S*L1) analysis/weighted/synthesis slabs, ~3 per
+    sample — with planes=3 the flagship (128, 128) inner plane clamps to
+    S=32 (validated on-chip, 99.7 ms) instead of the unvalidated S=48 the
+    2-D heuristic would allow."""
     if requested is None:
         requested = SAMPLES_PER_BLOCK
-    budget = max(1, (6 * 1024 * 1024) // (edims[0] * edims[1] * 4 * 2))
+    budget = max(1, (6 * 1024 * 1024) // (edims[0] * edims[1] * 4 * planes))
     return max(1, min(requested, budget))
 
 
@@ -216,11 +221,14 @@ def _pallas_sandwich(x, w, dims, edims, in_expanded, out_expanded, selfdot,
 # merging measured 123.6 -> 105.7 ms on the (64, 64, 32) whiten-20 at B=64
 # (bit-identical output; results/repro/mxu3d_ab.py).  Requires lane-aligned
 # L1; non-aligned shapes silently take the per-sample loop.
+# NOTE: both knobs below are read at TRACE time inside the lru_cache'd
+# _get_sandwich_wp (and inside jitted solves): flipping them at runtime has
+# no effect unless the caller also runs _get_sandwich_wp.cache_clear() and
+# re-jits (results/repro/mxu3d_ab.py does exactly this).
 WP_MERGED_MIDDLE = True
 # The wp kernel also prefers LARGER sample blocks than the 2-D kernel: the
 # resident weight plane is re-fetched once per W step, so more samples per
-# block amortize it.  S=32: 99.7 ms vs 105.7 at S=8 on the shape above
-# (S=64 exceeds scoped VMEM; _block_samples clamps to the budget anyway).
+# block amortize it.  S=32: 99.7 ms vs 105.7 at S=8 on the shape above.
 WP_SAMPLES_PER_BLOCK = 32
 
 
@@ -289,7 +297,7 @@ def _pallas_sandwich_wp(x, w, dims, edims, in_expanded, out_expanded,
     B, W = x.shape[:2]
     if samples_per_block is None:
         samples_per_block = WP_SAMPLES_PER_BLOCK
-    S = _block_samples(edims, samples_per_block)
+    S = _block_samples(edims, samples_per_block, planes=3)
     nb = -(-B // S)
     pad = nb * S - B
     if pad:

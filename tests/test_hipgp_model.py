@@ -338,6 +338,36 @@ def test_batch_solve_gram_mean_solver_matches_dense(family, whitened):
     np.testing.assert_allclose(np.asarray(gram.theta1), np.asarray(dense.theta1), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize("family", ["mean-field", "block"])
+def test_batch_solve_matfree_matches_gram(family):
+    """mean_solver='matfree' (Woodbury mean with the data-Gram matvec
+    re-swept per CG iteration — no resident M x M) matches 'gram' at
+    converged mean tolerance, including the ELBO."""
+    x, y, s, _ = make_data()
+    kw = {"block_sizes": (4, 4), "m": 9} if family == "block" else {}
+    model = make_model(family, "ziggy", **kw)
+    st = model.init_state()
+    gram, e_gram = model.batch_solve(
+        st, x, y, s, batch_size=16, maxiter_cg=300, mean_solver="gram",
+        mean_solver_maxiter=800, mean_solver_tol=1e-14, compute_elbo=True)
+    mf, e_mf = model.batch_solve(
+        st, x, y, s, batch_size=16, maxiter_cg=300, mean_solver="matfree",
+        mean_solver_maxiter=800, mean_solver_tol=1e-14, compute_elbo=True)
+    np.testing.assert_allclose(np.asarray(mf.theta2),
+                               np.asarray(gram.theta2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(mf.theta1),
+                               np.asarray(gram.theta1), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(e_mf), float(e_gram), rtol=1e-6)
+
+
+def test_batch_solve_matfree_requires_ziggy():
+    x, y, s, _ = make_data()
+    model = make_model("mean-field", "cholesky")
+    st = model.init_state()
+    with pytest.raises(ValueError, match="matfree"):
+        model.batch_solve(st, x, y, s, batch_size=16, mean_solver="matfree")
+
+
 def test_batch_solve_gram_mean_solver_elbo_finite():
     """compute_elbo with the gram mean solver (second-sweep path) matches
     the dense path's ELBO."""

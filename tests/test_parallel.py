@@ -57,6 +57,25 @@ def test_dp_batch_solve_matches_single_device(family, whitened):
     )
 
 
+def test_ell_fit_dp_matches_single_device():
+    """Mesh-aware ell_fit: the dp-routed grid search picks the same argmax
+    lengthscale (and near-identical ELBO curve) as the single-device sweep.
+    Mean PCG converged (maxiter 200 at this small shape) so reduction-order
+    differences stay below the comparison tolerance (CLAUDE.md trap)."""
+    from hipgp_tpu.infer import ell_fit
+
+    model, st, x, y, s = setup(n=64, whitened="ziggy")
+    kw = dict(ell_min=0.1, ell_max=0.3, ell_step_size=0.1,
+              batch_solve_bsz=8, maxiter_cg=200, verbose=False)
+    _, ell_1d, ells_1d, elbos_1d = ell_fit(model, st, x, y, s, **kw)
+    mesh = make_mesh(8)
+    _, ell_dp, ells_dp, elbos_dp = ell_fit(model, st, x, y, s,
+                                           parallel="dp", mesh=mesh, **kw)
+    assert ells_dp == ells_1d
+    assert ell_dp == ell_1d
+    np.testing.assert_allclose(elbos_dp, elbos_1d, rtol=1e-6)
+
+
 def test_dp_batch_solve_uneven_n():
     """N not divisible by device count: padding/masking keeps it exact."""
     model, st, x, y, s = setup(n=61)
