@@ -294,6 +294,8 @@ def fit_predict_and_save(
     batch_solve_bsz: int = -1,
     maxiter_cg: int = 10,
     mean_solver: str = "dense",
+    mean_solver_maxiter: int = 200,
+    mean_solver_tol: float = 1e-8,
     theta2_warmstart: bool = False,
     natgrad_safe_lr: str = "warn",
     xtest=None, etest=None, ftest=None,
@@ -549,7 +551,9 @@ def fit_predict_and_save(
                     semi_integrated_estimator=cfg.semi_integrated_estimator,
                     semi_integrated_samps=cfg.num_semi_mc_samples,
                     compute_elbo=True,
-                    **({"mean_solver": mean_solver}
+                    **({"mean_solver": mean_solver,
+                        "mean_solver_maxiter": mean_solver_maxiter,
+                        "mean_solver_tol": mean_solver_tol}
                        if getattr(model, "family", None) in ("mean-field", "block")
                        else {}),
                 )

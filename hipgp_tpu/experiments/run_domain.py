@@ -95,6 +95,8 @@ def main(argv=None):
                    choices=["dense", "cg", "gram", "factored", "matfree"],
                    help="full-batch mean solve; 'gram' beyond M' ~ 16k,"
                         " 'matfree' beyond M ~ 40k (no M x M resident)")
+    p.add_argument("--mean-solver-maxiter", type=int, default=200)
+    p.add_argument("--mean-solver-tol", type=float, default=1e-8)
     p.add_argument("--parallel", default=None, choices=["dp", "mp"],
                    help="fit over the device mesh (dp: data, mp: grid)")
     p.add_argument("--ntest", type=int, default=500)
@@ -201,6 +203,8 @@ def main(argv=None):
         maxiter_cg=args.maxiter_cg,
         batch_solve_bsz=args.batch_size,
         mean_solver=args.mean_solver,
+        mean_solver_maxiter=args.mean_solver_maxiter,
+        mean_solver_tol=args.mean_solver_tol,
         # natgrad at paper-scale 3-D grids sits near the stability limit
         # (RESULTS sec. 12): warm-start theta2 and clamp to the safe lr
         theta2_warmstart=args.fit_method == "natgrad",

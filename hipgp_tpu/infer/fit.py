@@ -79,6 +79,18 @@ class FitConfig:
     error_on_nonfinite: bool = True
 
 
+# Bound the number of scanned batches per device dispatch: the TPU runtime
+# watchdog kills ANY single dispatch that runs minutes (RESULTS sec. 9 — the
+# gram sweep hit it at M=192^2; a paper-scale 3-D natgrad epoch is ~2.4 min
+# in one dispatch).  Chunking a sequential scan at the host is bit-identical.
+FIT_MAX_BATCHES_PER_DISPATCH = 64
+
+
+def _dispatch_chunks(nb: int):
+    c = max(1, min(nb, FIT_MAX_BATCHES_PER_DISPATCH))
+    return [slice(i, min(i + c, nb)) for i in range(0, nb, c)]
+
+
 def prepare_batches(x, y, noise_std, batch_size):
     """Pad to a batch multiple and reshape to (nb, bsz, ...) + weights."""
     N = x.shape[0]
@@ -446,9 +458,14 @@ def svigp_fit(
             if data_shard_fn is not None:
                 xb, yb, sb, w = data_shard_fn(xb, yb, sb, w)
         t0 = time.time()
-        state, opt_state, key, elbos = jax.block_until_ready(
-            epoch_step(state, opt_state, key, xb, yb, sb, w)
-        )
+        elbo_parts = []
+        for sl in _dispatch_chunks(xb.shape[0]):
+            state, opt_state, key, e = epoch_step(
+                state, opt_state, key, xb[sl], yb[sl],
+                None if sb is None else sb[sl], w[sl],
+            )
+            elbo_parts.append(e)
+        elbos = jax.block_until_ready(jnp.concatenate(elbo_parts))
         dt = time.time() - t0
         epoch_times.append(dt)
         elbos_np = np.asarray(elbos)
@@ -506,16 +523,19 @@ def svigp_fit(
 
 
 def _theta2_warmstart(model, state, xb, yb, sb, w, config, kn_fn=None):
-    """theta2 <- -(Lambda + I)/2 from one Lambda-only pass over the data."""
+    """theta2 <- -(Lambda + I)/2 from one Lambda-only pass over the data.
+
+    The pass runs in chunks of at most ``FIT_MAX_BATCHES_PER_DISPATCH``
+    batches per device dispatch (same watchdog bound as the epoch scan);
+    chunking the sequential accumulation is bit-identical."""
+    spec = (
+        model.spectrum(state)
+        if model.whitened_type == "ziggy" and kn_fn is None
+        else None
+    )
 
     @jax.jit
-    def sweep(state):
-        spec = (
-            model.spectrum(state)
-            if model.whitened_type == "ziggy" and kn_fn is None
-            else None
-        )
-
+    def chunk_sweep(lam_acc, state, spec, xc, yc, wc, sc):
         def step(lam_acc, inp):
             xl, yl, wl, sl = inp
             ivar = wl / (sl * sl) if sl is not None else wl * jnp.exp(-state.log_noise2)
@@ -530,24 +550,26 @@ def _theta2_warmstart(model, state, xb, yb, sb, w, config, kn_fn=None):
                                       spec=spec)
             return lam_acc + model.get_lam(ivar, kn, add_identity=False), None
 
-        lam0 = jax.tree.map(
-            jnp.zeros_like,
-            model.get_lam(jnp.ones((1,), model.dtype),
-                          jnp.zeros((1, model.Mprime), model.dtype)),
-        )
-        if sb is None:
-            lam, _ = jax.lax.scan(lambda c, i: step(c, (*i, None)),
-                                  lam0, (xb, yb, w))
+        if sc is None:
+            lam_acc, _ = jax.lax.scan(lambda c, i: step(c, (*i, None)),
+                                      lam_acc, (xc, yc, wc))
         else:
-            lam, _ = jax.lax.scan(lambda c, i: step(c, (i[0], i[1], i[2], i[3])),
-                                  lam0, (xb, yb, w, sb))
-        lam = lam + model.get_lam(
-            jnp.zeros((1,), model.dtype),
-            jnp.zeros((1, model.Mprime), model.dtype), add_identity=True,
-        )
-        return state.replace(theta2=-0.5 * lam)
+            lam_acc, _ = jax.lax.scan(step, lam_acc, (xc, yc, wc, sc))
+        return lam_acc
 
-    return sweep(state)
+    lam = jax.tree.map(
+        jnp.zeros_like,
+        model.get_lam(jnp.ones((1,), model.dtype),
+                      jnp.zeros((1, model.Mprime), model.dtype)),
+    )
+    for sl in _dispatch_chunks(xb.shape[0]):
+        lam = chunk_sweep(lam, state, spec, xb[sl], yb[sl], w[sl],
+                          None if sb is None else sb[sl])
+    lam = lam + model.get_lam(
+        jnp.zeros((1,), model.dtype),
+        jnp.zeros((1, model.Mprime), model.dtype), add_identity=True,
+    )
+    return state.replace(theta2=-0.5 * lam)
 
 
 def ell_fit(

@@ -164,8 +164,41 @@ class DoublyDiagInterpolator:
                        (1.0, 1.0))
             )
 
-        xs = np.column_stack([dgrid, np.zeros(N)])
-        knn = k_doubly_diag_quad(kernel_np, xs, order=order)
+        # the unit-parameter table depends only on the kernel (its class +
+        # static fields) and the table config — cache it on disk so
+        # paper-scale runs don't redo ~1 min of host quadrature per process
+        knn = None
+        cache_file = None
+        try:
+            import hashlib
+            import os
+
+            key = hashlib.sha1(
+                f"{type(kernel).__name__}|{sorted(vars(kernel).items())!r}|"
+                f"{N}|{dmax}|{order}|{jax.config.x64_enabled}".encode()
+            ).hexdigest()[:16]
+            cdir = os.environ.get(
+                "HIPGP_TABLE_CACHE",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+            )
+            cache_file = os.path.join(cdir, f"ddiag_{key}.npy")
+            if os.path.exists(cache_file):
+                knn = np.load(cache_file)
+        except Exception:
+            cache_file = None
+
+        if knn is None:
+            xs = np.column_stack([dgrid, np.zeros(N)])
+            knn = k_doubly_diag_quad(kernel_np, xs, order=order)
+            if cache_file is not None:
+                try:
+                    import os
+
+                    os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+                    np.save(cache_file, knn)
+                except Exception:
+                    pass
 
         slopes = (knn[1:] - knn[:-1]) / (dgrid[1:] - dgrid[:-1])
         slopes = np.concatenate([slopes, slopes[-1:]])
