@@ -309,6 +309,7 @@ def fit_predict_and_save(
     mesh=None,
     grid_shards: Optional[int] = None,
     dtype=jnp.float32,
+    eval_only_state: Optional[str] = None,
 ):
     """Fit + evaluate one model, persisting all artifacts under
     ``output_dir/name`` — the single entry point every experiment driver
@@ -473,7 +474,14 @@ def fit_predict_and_save(
             )
 
     t_start = time.time()
-    if fit_method == "natgrad":
+    if eval_only_state is not None:
+        # crash recovery: restore a saved state (e.g. after an eval-phase
+        # OOM) and skip the fit — evaluation + artifacts only
+        state = ckpt.load_pytree(eval_only_state, state)
+        report = {"elbo_trace": None, "epoch_elbos": []}
+        train_elbo = None
+        fit_method = "eval-only"
+    elif fit_method == "natgrad":
         if parallel == "mp":
             from ..parallel import mp_svigp_fit
 

@@ -82,6 +82,11 @@ def main(argv=None):
     p.add_argument("--nx", type=int, default=16, help="inducing pts per xy dim")
     p.add_argument("--nz", type=int, default=8, help="inducing pts in z")
     p.add_argument("--model-class", default="mean-field")
+    p.add_argument("--xblock-size", type=int, default=2,
+                   help="block family: block edge along x/y"
+                        " (`run_domain_experiment.py:107-108`)")
+    p.add_argument("--zblock-size", type=int, default=2,
+                   help="block family: block edge along z")
     p.add_argument("--kernel", default="SqExp")
     p.add_argument("--ell", type=float, default=0.2)
     p.add_argument("--fit-method", default="full-batch",
@@ -108,6 +113,9 @@ def main(argv=None):
                         " with genDustDensity, experiment_util_domain.py:301)")
     p.add_argument("--deposit-method", default="sph", choices=["sph", "cic"])
     p.add_argument("--output-dir", default="./output-domain")
+    p.add_argument("--eval-only-state", default=None,
+                   help="restore this state.npz and skip the fit"
+                        " (crash recovery / re-evaluation)")
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
@@ -196,6 +204,10 @@ def main(argv=None):
         xobs=xobs, yobs=aobs, sobs=sobs_tr,
         xinduce_grids=grids,
         model_class=args.model_class,
+        block_sizes=(
+            (args.xblock_size, args.xblock_size, args.zblock_size)
+            if args.model_class.startswith("block") else None
+        ),
         kernel=args.kernel,
         ell_init=args.ell,
         fit_method=args.fit_method,
@@ -216,6 +228,7 @@ def main(argv=None):
         grid_extent=(gx_lo, gx_hi, gy_lo, gy_hi),
         output_dir=args.output_dir,
         dtype=jnp.float64 if args.f64 else jnp.float32,
+        eval_only_state=args.eval_only_state,
     )
     return model, state, report
 

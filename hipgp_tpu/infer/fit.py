@@ -684,11 +684,24 @@ def ell_fit(
     return best[2], best[1], list(map(float, ells)), elbo_list
 
 
+# HBM budget for one predict chunk's whitened kn (bsz, M') buffer; the
+# PCG state and the block family's gather/apply buffers are accounted as
+# multiples of it.  At paper-scale 3-D grids (M' = 1M) the harness default
+# chunk of 4096 rows would need ~16 GB for kn alone (measured OOM: the
+# block predict at 2000 rows wanted 24.4 of 15.75 GB).
+PREDICT_CHUNK_BUDGET_BYTES = 2 << 30
+
+
 def batch_predict(model, state, x, batch_size: int = 100, **predict_kwargs):
     """Chunked prediction (`ziggy/svi_gp.py:78-97`): pad to a batch multiple,
-    one compiled predict reused across chunks."""
+    one compiled predict reused across chunks.  The chunk size is clamped
+    so the (bsz, M') buffers fit the HBM budget at large grids."""
     x = jnp.asarray(x, model.dtype)
     N = x.shape[0]
+    Mp = int(getattr(model, "Mprime", 0) or 0)
+    if Mp:
+        per_row = 4 * Mp * (2 if getattr(model, "family", "") == "block" else 1)
+        batch_size = max(1, min(batch_size, PREDICT_CHUNK_BUDGET_BYTES // per_row))
     bsz = min(batch_size, N)
     nb = -(-N // bsz)
     pad = nb * bsz - N

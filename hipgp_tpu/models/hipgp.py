@@ -54,6 +54,17 @@ LN2PI = math.log(2.0 * math.pi)
 # the 3droad shape 64 batches ~ 10 s of device time per dispatch
 GRAM_SWEEP_MAX_BATCHES = 64
 
+# f32 trust region of the 'factored' solver's kappa(spectrum) pre-check
+# (RESULTS sec. 13); module-level so the trust-region study
+# (results/repro/factored_trustregion.py) can probe past it.
+FACTORED_F32_KAPPA_MAX = 1e3
+
+# Disable ONLY for accuracy studies that need the raw factored output past
+# a firing guard (results/repro/factored_trustregion.py); production code
+# must never turn these off.
+FACTORED_GUARDS = True
+
+
 
 class FactoredSolveInconsistency(RuntimeError):
     """The factored batch solve's exactness check failed.
@@ -708,29 +719,35 @@ class HIPGP:
         dtype = self.dtype
         zero = jnp.asarray(0.0, dtype)
 
-        # Pre-check (f32 + circulant whitening, eager): the f32 Cholesky
-        # factor of A cannot represent A's small-eigenvalue tail (it decays
-        # like the kernel spectrum, far below f32 entrywise noise), and W
-        # amplifies exactly that tail into Lambda.  Measured at a
-        # kappa = 4.1e3 oracle config (RESULTS section 13): f32 factored
-        # theta2 is 0.18 max-rel off the f64 truth and the ELBO inflates by
-        # 0.21, while the smooth-RHS sweep solvers sit at 4e-4 / 6e-5; the
-        # error is DETERMINISTIC — independent of PCG iterations and of
-        # transform precision (HIGH vs HIGHEST), so it cannot be iterated
-        # away.  UK housing (kappa 4.0e2) measures clean.  Trust region:
-        # kappa <= 1e3 in f32.  f64 resolves the tail (~1e9 lower noise);
-        # the post-hoc checks govern there.
+        # Pre-check (f32 + circulant whitening, eager).  Root cause pinned
+        # by the round-5 boundary study (RESULTS sec. 13b,
+        # results/repro/factored_trustregion.py): the f32 error lives in
+        # the f32 WHITENING SOLVES of the factor columns — Cholesky columns
+        # are localized (delta-like), so the f32 PCG floor enters as
+        # broadband content that W amplifies into Lambda.  It is NOT the
+        # factor's precision: an exact f64 factor cast down reproduces the
+        # error bit-for-near (V3 = V4), while rounding the factor of an
+        # f64 pipeline to f32 is harmless (V2: 1e-6).  A full eigen-factor
+        # fixes it (orthogonal columns with sqrt(eig) norms: 35x better
+        # theta2, valid to kappa ~ 2e4) but TPU eigh at M >= 4k is
+        # impractical (minutes), and partial-eigh/Nystrom variants fail
+        # because the residual Cholesky reintroduces localized columns
+        # (measured k-insensitive).  Trust region: kappa <= 1e3 in f32.
+        # f64 resolves the floor; the post-hoc checks govern there.
         if (
             spec is not None
             and np.dtype(dtype) == np.dtype(np.float32)
             and not isinstance(spec.eigs, jax.core.Tracer)
         ):
             kap = float(jnp.max(spec.eigs) / jnp.min(spec.eigs))
-            if kap > 1e3:
+            if kap > FACTORED_F32_KAPPA_MAX:
                 raise FactoredSolveInconsistency(
                     f"spectrum dynamic range {kap:.2e} exceeds the measured "
-                    "f32 trust region (1e3): the f32 factor of A cannot "
-                    "resolve the spectral tail that Lambda needs"
+                    f"f32 trust region ({FACTORED_F32_KAPPA_MAX:g}): the f32 "
+                    "whitening solves of the LOCALIZED factor columns cannot "
+                    "resolve the spectral tail that Lambda needs (the bound "
+                    "is a property of the solves, not the factor — see "
+                    "RESULTS sec. 13b)"
                 )
 
         if nsp is None:
@@ -792,7 +809,7 @@ class HIPGP:
         # producing BETTER post-RMSE than the sweep path; the genuinely
         # broken regime (SqExp at 2.5 spacings, f32) overshoots 2.3x with
         # garbage Lambda.  1.2x splits them with margin on both sides.
-        if not isinstance(trKinvA, jax.core.Tracer):
+        if FACTORED_GUARDS and not isinstance(trKinvA, jax.core.Tracer):
             tr_f = float(trKinvA)
             sk_f = float(sKnn)
             if not np.isfinite(tr_f) or tr_f > 1.2 * sk_f + 1e-6:
@@ -832,7 +849,7 @@ class HIPGP:
         # an inflated ELBO of +5.0 vs the sweep's -0.98 slipped through
         # the tr check alone at kappa = 1.3e4)
         sSkn = jnp.sum(qS * lam)
-        if not isinstance(sSkn, jax.core.Tracer):
+        if FACTORED_GUARDS and not isinstance(sSkn, jax.core.Tracer):
             bracket = float(sKnn) - float(trKinvA) + float(sSkn)
             if bracket < -1e-3 * float(sKnn):
                 raise FactoredSolveInconsistency(
@@ -925,13 +942,16 @@ class HIPGP:
                 )
 
         else:
-            cs = min(self.M, 2048)
-            nc = -(-self.M // cs)
 
             def g_stage(spec, L_A):
+                # L_A may be rectangular (M, C): any factor with
+                # L_A L_A^T = A works (C > M for the partial-eigh factor)
+                ncols = L_A.shape[1]
+                cs = min(ncols, 2048)
+                nc = -(-ncols // cs)
                 Lt = L_A.T
-                if nc * cs != self.M:
-                    Lt = jnp.pad(Lt, ((0, nc * cs - self.M), (0, 0)))
+                if nc * cs != ncols:
+                    Lt = jnp.pad(Lt, ((0, nc * cs - ncols), (0, 0)))
                 Lt = Lt.reshape(nc, cs, self.M)
                 lam0 = jax.tree.map(
                     jnp.zeros_like,
