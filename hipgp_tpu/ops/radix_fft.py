@@ -76,12 +76,20 @@ HIGH = jax.lax.Precision.HIGH
 STAGE1_PRECISION = HIGH
 
 
+# A/B experiments only (results/repro/middle_factor_ab.py): override the
+# factorization for a given L.  Callers must _plan_arrays.cache_clear()
+# after changing it — plans are cached per L.
+FACTOR_OVERRIDE = {}
+
+
 def _factorize(L: int) -> Optional[Tuple[int, int, int]]:
     """L = A*B*C with C = 128, B in [8,128], A in [8,2048], all pow2.
 
     Above A=512 the stage-1 kernel blocks its output k-axis so the DFT
     table slices fit scoped VMEM (see `_stage1_pallas`); L up to 2^25 is
     supported, longer falls back to the XLA FFT path."""
+    if L in FACTOR_OVERRIDE:
+        return FACTOR_OVERRIDE[L]
     if L <= 0 or L & (L - 1):
         return None
     C = _LANE
@@ -198,6 +206,15 @@ def _make_dot(prec, dtype):
 # VT=2).  Exposed for on-chip tiling experiments; see RESULTS sec. 10.
 _MIDDLE_R = None
 _MIDDLE_VT = None
+# A/B knobs (results/repro/middle_factor_ab.py), read at trace time:
+# _MIDDLE_F2_CONCAT collapses the R per-plane F2/I2 left dots into ONE
+# (B,B)@(B,R*C) dot via lane-concatenation of the plane tiles (keeps the
+# (sublane=B, lane=C) layout — unlike the rejected leading-axis
+# transpose); _MIDDLE_F2_BATCHED expresses them as one R-batched
+# dot_general instead of a Python loop (no copies — scheduling up to
+# Mosaic).
+_MIDDLE_F2_CONCAT = False
+_MIDDLE_F2_BATCHED = False
 
 
 def _make_middle_kernel(prec, R, B, C, VT):
@@ -279,18 +296,50 @@ def _make_middle_kernel(prec, R, B, C, VT):
             t3 = rdot(ar + ai, wsum)
             return t1 - t2, t3 - t1 - t2
 
+        def f2_planes(yr, yi, wr, wi, wsum):
+            """F2/I2 over b for the whole (R, B, C) slab."""
+            if _MIDDLE_F2_BATCHED:
+                bdims = (((2,), (1,)), ((0,), (0,)))
+
+                def bld(wp, x):
+                    # w (B,B) batched over R: (R,B,B) x (R,B,C) -> (R,B,C)
+                    wb = lambda m: jnp.broadcast_to(m[None], (R,) + m.shape)
+                    if f32_high:
+                        xh, xl = _bf16_split(x)
+                        g = lambda a, b: jax.lax.dot_general(
+                            a, b, bdims, preferred_element_type=jnp.float32)
+                        wh, wl = wp
+                        return (g(wb(wh), xh) + g(wb(wl), xh)
+                                + g(wb(wh), xl))
+                    pr = HIGHEST if prec == HIGH else prec
+                    return jax.lax.dot_general(wb(wp), x, bdims, precision=pr)
+
+                t1 = bld(wr, yr)
+                t2 = bld(wi, yi)
+                t3 = bld(wsum, yr + yi)
+                return t1 - t2, t3 - t1 - t2
+            if _MIDDLE_F2_CONCAT:
+                # lane-concat the R plane tiles -> ONE (B,B)@(B,R*C) dot
+                # trio (sublane layout untouched), then split back
+                rc = jnp.concatenate([yr[r] for r in range(R)], axis=-1)
+                ic = jnp.concatenate([yi[r] for r in range(R)], axis=-1)
+                a, b = cdot_left(rc, ic, wr, wi, wsum)
+                yr = jnp.stack([a[:, r * C:(r + 1) * C] for r in range(R)])
+                yi = jnp.stack([b[:, r * C:(r + 1) * C] for r in range(R)])
+                return yr, yi
+            or_, oi_ = [], []
+            for r in range(R):
+                a, b = cdot_left(yr[r], yi[r], wr, wi, wsum)
+                or_.append(a)
+                oi_.append(b)
+            return jnp.stack(or_), jnp.stack(oi_)
+
         for v in range(VT):
             yr = yr_ref[v]                                    # (R, B, C)
             yi = yi_ref[v]
             yr, yi = yr * c1 - yi * s1, yr * s1 + yi * c1     # T1
-            # F2 over b: per-plane left dots, weights resident
-            or_, oi_ = [], []
-            for r in range(R):
-                a, b = cdot_left(yr[r], yi[r], wbcp, wbsp, wbsump)
-                or_.append(a)
-                oi_.append(b)
-            yr = jnp.stack(or_)
-            yi = jnp.stack(oi_)
+            # F2 over b
+            yr, yi = f2_planes(yr, yi, wbcp, wbsp, wbsump)
             yr, yi = yr * t2c - yi * t2s, yr * t2s + yi * t2c  # T2
             # F3 over c: ONE merged right dot on (R*B, C)
             fr, fi = cdot_right(yr.reshape(R * B, C), yi.reshape(R * B, C),
@@ -303,14 +352,8 @@ def _make_middle_kernel(prec, R, B, C, VT):
             yr = fr.reshape(R, B, C)
             yi = fi.reshape(R, B, C)
             yr, yi = yr * t2c + yi * t2s, -yr * t2s + yi * t2c  # conj T2
-            # I2: conj left dots per plane
-            or_, oi_ = [], []
-            for r in range(R):
-                a, b = cdot_left(yr[r], yi[r], wbcp, wbs_m, wbdiff)
-                or_.append(a)
-                oi_.append(b)
-            yr = jnp.stack(or_)
-            yi = jnp.stack(oi_)
+            # I2: conj F2
+            yr, yi = f2_planes(yr, yi, wbcp, wbs_m, wbdiff)
             zr_ref[v] = yr * c1 + yi * s1                      # conj T1
             zi_ref[v] = -yr * s1 + yi * c1
 
