@@ -70,51 +70,43 @@ def t(label, f, x, iters=1, reps=5):
     return s / iters * 1e3, out
 
 
-# --- one fused apply + chained applies -------------------------------
+def chained(label, step, x, iters=ITERS):
+    """Chained scan of `step` (same-shape in/out), per-step ms."""
+
+    def loop(x):
+        y, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
+                            length=iters)
+        return y
+
+    ms, _ = t(label, loop, x, iters=iters)
+    return ms
+
+
+# --- chained applies (the PCG apply floor) ----------------------------
 def one_apply(x):
     y, d = sandwich_apply_3d_selfdot(x, wfull, pdims, pedims)
     return y + 0 * d[:, None, None, None]
 
 
-apply_ms, _ = t("apply", one_apply, x0)
+chainx_ms = chained("applyx20", one_apply, x0)
 
-
-def chain(x):
-    def body(c, _):
-        y, d = sandwich_apply_3d_selfdot(c, wfull, pdims, pedims)
-        return y + 0 * d[:, None, None, None], None
-
-    y, _ = jax.lax.scan(body, x, None, length=ITERS)
-    return y
-
-
-chainx_ms, _ = t("applyx20", chain, x0, iters=ITERS)
-
-# --- the outer einsum pair alone -------------------------------------
+# --- the outer einsum pair alone (chained) ----------------------------
 from hipgp_tpu.ops.bttb import _real_fourier_basis
+from hipgp_tpu.ops.mxu3d import _outer_contract
+
+L0 = pedims[0]
+Q0 = _real_fourier_basis(L0, dtype)
 
 
-def outer2(x):
-    from hipgp_tpu.ops.mxu3d import _outer_contract
-
-    L0 = pedims[0]
-    Q0 = _real_fourier_basis(L0, x.dtype)
+def outer_pair(x):
     u = _outer_contract(x, Q0[: pdims[0]])
     return _outer_contract(u, Q0[: pdims[0]].T)
 
 
-outer_ms, _ = t("outer_pair", outer2, x0)
+outer_ms = chained("outer_pair", outer_pair, x0)
 
-# --- the wp kernel alone on the intermediate -------------------------
-L0 = pedims[0]
+# --- the full-width analysis+synthesis (keeps L0 axis, chained) -------
 u0 = jnp.asarray(rng.standard_normal((B, L0) + pdims[1:]), dtype)
-
-
-def wp_only(u):
-    return sandwich_apply_wp(u, wfull, pdims[1:], pedims[1:])
-
-
-wp_ms, _ = t("wp_kernel", wp_only, u0)
 
 
 def wp_dot(u):
@@ -122,7 +114,14 @@ def wp_dot(u):
     return y + 0 * d[:, None, None, None]
 
 
-wpd_ms, _ = t("wp_selfdot", wp_dot, u0)
+wpd_ms = chained("wp_selfdot", wp_dot, u0)
+
+
+def wp_plain(u):
+    return sandwich_apply_wp(u, wfull, pdims[1:], pedims[1:])
+
+
+wp_ms = chained("wp_kernel", wp_plain, u0)
 
 # --- the real whitens -------------------------------------------------
 b0 = jnp.asarray(rng.standard_normal((B, M)), dtype)
@@ -151,7 +150,8 @@ bytes_int = B * L0 * np.prod(pdims[1:]) * 4
 print(f"\noriginal volume {bytes_vol / GB:.3f} GB; (B,L0,d1,d2) intermediate "
       f"{bytes_int / GB:.3f} GB")
 print(f"apply = outer_pair {outer_ms:.2f} + wp {wpd_ms:.2f} "
-      f"= {outer_ms + wpd_ms:.2f} vs measured {apply_ms:.2f} ms")
-print(f"whiten20 {wh_ms:.1f} ms = 21 applies x {chainx_ms:.2f} "
-      f"({21 * chainx_ms:.1f}) + glue {wh_ms - 21 * chainx_ms:.1f} ms")
+      f"= {outer_ms + wpd_ms:.2f} vs measured chained {chainx_ms:.2f} ms")
+applies = 2 * ITERS + 1  # init precond + (matvec + precond) per iter
+print(f"whiten20 {wh_ms:.1f} ms = {applies} applies x {chainx_ms:.2f} "
+      f"({applies * chainx_ms:.1f}) + glue {wh_ms - applies * chainx_ms:.1f} ms")
 print(f"einsum20 {whe_ms:.1f} ms -> fused speedup {whe_ms / wh_ms:.2f}x")
