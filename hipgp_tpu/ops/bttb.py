@@ -443,6 +443,17 @@ def _real_fourier_basis(L: int, dtype) -> jnp.ndarray:
     return jnp.asarray(_BASIS_CACHE[key])
 
 
+def _real_fourier_basis_np(L: int, dtype):
+    """HOST-numpy view of :func:`_real_fourier_basis` — for tables that a
+    memoized closure captures across jit traces (a jnp table built inside
+    an active trace is a tracer; caching it leaks it into the next trace —
+    the `radix_fft.make_plan` lesson)."""
+    _real_fourier_basis(L, dtype)
+    import numpy as _np
+
+    return _BASIS_CACHE[(L, _np.dtype(dtype).name)]
+
+
 _LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 

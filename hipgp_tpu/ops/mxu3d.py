@@ -41,14 +41,28 @@ Parity reference: the 3-D FFT applies of `ziggy/misc/toeplitz_tensor.py:
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .mxu2d import sandwich_apply_wp
 from .radix_fft import HIGH
 
 __all__ = ["sandwich_apply_3d", "sandwich_apply_3d_selfdot", "best_perm"]
+
+# Whole-sample fused apply (round 5): the outer-axis analysis/synthesis
+# move INTO the kernel and the inner-plane contractions merge across ALL
+# W = L_outer planes of a sample — 6 large MXU dots per sample instead of
+# ~2W small per-plane ones plus two HBM round trips of the (B, W, d1, d2)
+# intermediate.  Engages for cropped-IO f32 solves whose per-sample
+# embedded volume fits the VMEM budget (the flagship 64x64x32 grid: 4 MB).
+USE_WP3 = True
+# per-sample embedded volume (f32 bytes) budget for the wp3 kernel — the
+# (L1, W*L2) analysis slab + the merged weight volume must both sit in
+# scoped VMEM next to the IO blocks
+WP3_MAX_EVOL_BYTES = 4 * 1024 * 1024
 
 
 def best_perm(edims: Sequence[int]) -> Tuple[int, ...]:
@@ -91,6 +105,131 @@ def sandwich_apply_3d(x, w, dims, edims, *, in_expanded=False,
     return _outer_contract(b2, Q0[:o0].T)        # (B, o0, o1, o2)
 
 
+def _wp3_ok(dims, edims, dtype) -> bool:
+    if dtype != jnp.float32:
+        return False
+    W, L1, L2 = edims
+    if L2 % 128 or int(W) * L1 * L2 * 4 > WP3_MAX_EVOL_BYTES:
+        return False
+    # sublane alignment of the merged views
+    return dims[1] % 8 == 0 and dims[0] % 8 == 0 and W % 8 == 0
+
+
+def _make_kernel_wp3(prec, d0, i0, i1, o0, o1, W, L1, L2, selfdot):
+    """One SAMPLE per grid step; the whole 3-D sandwich in VMEM:
+
+      1. outer analysis   (W, d0) @ (d0, i0*i1)          -> U (W, i0*i1)
+      2. minor analysis   (W*i0, i1) @ (i1, L2)          -> (W*i0, L2)
+      3. leading analysis [transpose (W,i0,L2)->(i0,W,L2)]
+                          (L1, i0) @ (i0, W*L2)          -> A (L1, W*L2)
+      4. scale            A * w_merged (L1, W*L2)
+      5. leading synth    (o0, L1) @ (L1, W*L2)          -> (o0, W*L2)
+      6. [transpose back] -> (W*o0, L2)
+      7. minor synth      (W*o0, L2) @ (L2, o1)          -> (W*o0, o1)
+      8. outer synth      (d0, W) @ (W, o0*o1)           -> y (d0, o0*o1)
+
+    vs the outer-einsum + wp pipeline: no HBM intermediate (saves two
+    round trips of the 2x-volume (B, W, d1, d2) stack), and 6 dots per
+    sample instead of ~2W per-plane issues (the measured issue-latency
+    wall, RESULTS sec. 14b)."""
+    from .mxu2d import _dot_pair
+
+    def kernel(q0oa_ref, q0os_ref, q1a_ref, q0a_ref, q0s_ref, q1s_ref,
+               wm_ref, x_ref, *out_refs):
+        y_ref = out_refs[0]
+        dt = x_ref.dtype
+        split, ldot, rdot = _dot_pair(prec, dt)
+        q0oa = split(q0oa_ref[...])   # (W, d0) outer analysis
+        q0os = split(q0os_ref[...])   # (d0, W) outer synthesis
+        q1a = split(q1a_ref[...])     # (i1, L2)
+        q0a = split(q0a_ref[...])     # (L1, i0)
+        q0s = split(q0s_ref[...])     # (o0, L1)
+        q1s = split(q1s_ref[...])     # (L2, o1)
+        wm = wm_ref[...]              # (L1, W*L2) merged weight volume
+        x = x_ref[0]                  # (d0, i0, i1)
+
+        u = ldot(q0oa, x.reshape(d0, i0 * i1))            # (W, i0*i1)
+        u = rdot(u.reshape(W * i0, i1), q1a)              # (W*i0, L2)
+        uc = u.reshape(W, i0, L2).transpose(1, 0, 2).reshape(i0, W * L2)
+        a = ldot(q0a, uc) * wm                            # (L1, W*L2)
+        b = ldot(q0s, a)                                  # (o0, W*L2)
+        b = b.reshape(o0, W, L2).transpose(1, 0, 2).reshape(W * o0, L2)
+        b = rdot(b, q1s)                                  # (W*o0, o1)
+        y = ldot(q0os, b.reshape(W, o0 * o1))             # (d0, o0*o1)
+        y_ref[0] = y.reshape(1, d0, o0, o1).astype(y_ref.dtype)[0]
+        if selfdot:
+            dots_ref = out_refs[1]    # (1, 8, 128) block
+            s = jnp.sum(
+                jnp.sum(x.reshape(d0, i0 * i1) * y.astype(dt), axis=1),
+                axis=0, keepdims=True)                    # (1,)
+            first = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) \
+                & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+            dots_ref[0] = jnp.where(first, s[:, None], 0.0).astype(dt)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _get_wp3(dims, edims, dtype_name, prec, selfdot, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .bttb import _real_fourier_basis_np
+
+    dtype = jnp.dtype(dtype_name)
+    d0, d1, d2 = dims
+    W, L1, L2 = edims
+    i0, i1 = d1, d2
+    o0, o1 = d1, d2
+    # HOST numpy tables: this builder is memoized and may first run inside
+    # an active jit trace — jnp-built tables would be cached TRACERS and
+    # leak into the next trace (UnexpectedTracerError; hit by the block
+    # natgrad warmstart's ragged-chunk retrace)
+    import numpy as _np
+
+    Q0o = _real_fourier_basis_np(W, dtype)
+    Q1 = _real_fourier_basis_np(L1, dtype)
+    Q2 = _real_fourier_basis_np(L2, dtype)
+    q0oa = _np.ascontiguousarray(Q0o[:d0].T)     # (W, d0)
+    q0os = _np.ascontiguousarray(Q0o[:d0])       # (d0, W)
+    q1a = _np.ascontiguousarray(Q2[:i1])         # (i1, L2)
+    q0a = _np.ascontiguousarray(Q1[:i0].T)       # (L1, i0)
+    q0s = _np.ascontiguousarray(Q1[:o0])         # (o0, L1)
+    q1s = _np.ascontiguousarray(Q2[:o1].T)       # (L2, o1)
+
+    def call(x, w):
+        B = x.shape[0]
+        wm = jnp.transpose(w, (1, 0, 2)).reshape(L1, W * L2)
+        const = lambda shape: pl.BlockSpec(
+            shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+        xtile = pl.BlockSpec((1, d0, i0, i1), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ytile = pl.BlockSpec((1, d0, o0, o1), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out_shapes = [jax.ShapeDtypeStruct((B, d0, o0, o1), dtype)]
+        out_specs = [ytile]
+        if selfdot:
+            out_shapes.append(jax.ShapeDtypeStruct((B, 8, 128), dtype))
+            out_specs.append(pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            _make_kernel_wp3(prec, d0, i0, i1, o0, o1, W, L1, L2, selfdot),
+            grid=(B,),
+            in_specs=[const(q0oa.shape), const(q0os.shape), const(q1a.shape),
+                      const(q0a.shape), const(q0s.shape), const(q1s.shape),
+                      const(wm.shape), xtile],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(q0oa, q0os, q1a, q0a, q0s, q1s, wm, x)
+        if selfdot:
+            y, dots = out
+            return y, dots[:, 0, 0]
+        return out[0]
+
+    return call
+
+
 def sandwich_apply_3d_selfdot(x, w, dims, edims, *, precision=HIGH,
                               samples_per_block=None, interpret=None):
     """Cropped in/out 3-D sandwich + fused per-sample self-dot: returns
@@ -99,6 +238,13 @@ def sandwich_apply_3d_selfdot(x, w, dims, edims, *, precision=HIGH,
     3-D inner product because Q0 is orthonormal: <x, Q0 b> = <Q0^T x, b>.
     Solver-internal; NOT differentiable (used under custom_linear_solve)."""
     from .bttb import _real_fourier_basis
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if USE_WP3 and _wp3_ok(tuple(dims), tuple(edims), x.dtype):
+        call = _get_wp3(tuple(dims), tuple(edims), jnp.dtype(x.dtype).name,
+                        precision, True, interpret)
+        return call(x, w)
 
     d0, L0 = dims[0], edims[0]
     Q0 = _real_fourier_basis(L0, x.dtype)

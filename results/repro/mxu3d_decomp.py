@@ -58,6 +58,10 @@ rng = np.random.default_rng(0)
 wfull = jnp.transpose(_full_weights(spec.eigs, edims[-1]), perm)
 x0 = jnp.asarray(rng.standard_normal((B,) + pdims), dtype)
 
+from hipgp_tpu.ops import mxu3d
+
+mxu3d.USE_WP3 = False  # stage decomposition below measures the wp pipeline
+
 
 def t(label, f, x, iters=1, reps=5):
     jf = jax.jit(f)
@@ -123,6 +127,12 @@ def wp_plain(u):
 
 wp_ms = chained("wp_kernel", wp_plain, u0)
 
+# --- wp3 (whole-sample fused) ------------------------------------------
+wp3_ms = None
+if mxu3d._wp3_ok(pdims, pedims, dtype):
+    mxu3d.USE_WP3 = True
+    wp3_ms = chained("wp3_applyx20", one_apply, x0)
+
 # --- the real whitens -------------------------------------------------
 b0 = jnp.asarray(rng.standard_normal((B, M)), dtype)
 
@@ -132,6 +142,11 @@ def wh(b):
 
 
 wh_ms, _ = t("whiten20", wh, b0, iters=1)
+
+if wp3_ms is not None:
+    mxu3d.USE_WP3 = False
+    whwp_ms, _ = t("whiten20_wp", wh, b0, iters=1)
+    mxu3d.USE_WP3 = True
 
 bttb.USE_MXU3D_PCG = False
 
@@ -152,6 +167,9 @@ print(f"\noriginal volume {bytes_vol / GB:.3f} GB; (B,L0,d1,d2) intermediate "
 print(f"apply = outer_pair {outer_ms:.2f} + wp {wpd_ms:.2f} "
       f"= {outer_ms + wpd_ms:.2f} vs measured chained {chainx_ms:.2f} ms")
 applies = 2 * ITERS + 1  # init precond + (matvec + precond) per iter
-print(f"whiten20 {wh_ms:.1f} ms = {applies} applies x {chainx_ms:.2f} "
-      f"({applies * chainx_ms:.1f}) + glue {wh_ms - applies * chainx_ms:.1f} ms")
+ap = wp3_ms if wp3_ms is not None else chainx_ms
+print(f"whiten20 {wh_ms:.1f} ms = {applies} applies x {ap:.2f} "
+      f"({applies * ap:.1f}) + glue {wh_ms - applies * ap:.1f} ms")
+if wp3_ms is not None:
+    print(f"whiten20_wp {whwp_ms:.1f} ms -> wp3 speedup {whwp_ms / wh_ms:.2f}x")
 print(f"einsum20 {whe_ms:.1f} ms -> fused speedup {whe_ms / wh_ms:.2f}x")

@@ -160,3 +160,59 @@ def test_mxu3d_pcg_matches_generic_pcg(fixed_iters, rng):
         want = pcg(mv, b, precond=pc, maxiter=maxiter, tol=1e-12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_wp3_whole_sample_kernel_matches_two_stage(rng):
+    """The whole-sample fused kernel (wp3: outer analysis/synthesis inside
+    the kernel, inner contractions merged across ALL outer planes) matches
+    the outer-einsum + wp pipeline on both the apply and the fused dots."""
+    from hipgp_tpu.ops import mxu3d
+
+    dims, edims = (8, 64, 64), (16, 128, 128)
+    x = jnp.asarray(rng.standard_normal((5,) + dims), jnp.float32)
+    w = jnp.asarray(np.abs(rng.standard_normal(edims)) + 0.1, jnp.float32)
+
+    assert mxu3d._wp3_ok(dims, edims, jnp.float32)
+    old = mxu3d.USE_WP3
+    try:
+        mxu3d.USE_WP3 = False
+        y0, d0 = sandwich_apply_3d_selfdot(x, w, dims, edims, interpret=True)
+        mxu3d.USE_WP3 = True
+        y1, d1 = sandwich_apply_3d_selfdot(x, w, dims, edims, interpret=True)
+    finally:
+        mxu3d.USE_WP3 = old
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-5)
+
+
+def test_wp3_gate_rejects_unfit_shapes():
+    from hipgp_tpu.ops import mxu3d
+
+    assert not mxu3d._wp3_ok((8, 64, 64), (16, 128, 128), jnp.float64)
+    assert not mxu3d._wp3_ok((8, 64, 60), (16, 128, 120), jnp.float32)
+    # embedded volume over the VMEM budget
+    assert not mxu3d._wp3_ok((64, 256, 256), (128, 512, 512), jnp.float32)
+
+
+def test_wp3_tables_survive_retrace(rng):
+    """The memoized wp3 builder may first run INSIDE a jit trace; its
+    cached tables must be host arrays, not that trace's tracers
+    (regression: UnexpectedTracerError on the warmstart's ragged-chunk
+    retrace at paper scale)."""
+    from hipgp_tpu.ops import mxu3d
+
+    mxu3d._get_wp3.cache_clear()
+    dims, edims = (8, 64, 64), (16, 128, 128)
+    w = jnp.asarray(np.abs(rng.standard_normal(edims)) + 0.1, jnp.float32)
+
+    old = mxu3d.USE_WP3
+    mxu3d.USE_WP3 = True
+    try:
+        f = jax.jit(lambda xx: sandwich_apply_3d_selfdot(
+            xx, w, dims, edims, interpret=True)[0])
+        f(jnp.asarray(rng.standard_normal((4,) + dims), jnp.float32))
+        # second trace at a different batch shape
+        f(jnp.asarray(rng.standard_normal((2,) + dims), jnp.float32))
+    finally:
+        mxu3d.USE_WP3 = old
