@@ -54,15 +54,27 @@ __all__ = ["sandwich_apply_3d", "sandwich_apply_3d_selfdot", "best_perm"]
 
 # Whole-sample fused apply (round 5): the outer-axis analysis/synthesis
 # move INTO the kernel and the inner-plane contractions merge across ALL
-# W = L_outer planes of a sample — 6 large MXU dots per sample instead of
+# W = L_outer planes of a sample — 7 large MXU dots per sample instead of
 # ~2W small per-plane ones plus two HBM round trips of the (B, W, d1, d2)
-# intermediate.  Engages for cropped-IO f32 solves whose per-sample
-# embedded volume fits the VMEM budget (the flagship 64x64x32 grid: 4 MB).
-USE_WP3 = True
+# intermediate.  MEASURED ~PARITY with the two-stage pipeline end-to-end
+# (RESULTS sec. 14b round-5 addendum): standalone chained applies run 15%
+# faster UNCHUNKED (1.87 vs 2.21 ms at the flagship shape), but the
+# unchunked kernel is VMEM-marginal (17.8 of 16 MB — compiles in some
+# surrounding programs, not others) and the W-chunked fit (WP3_W_CHUNKS)
+# gives the gain back (2.34 ms); meanwhile the wp pipeline's outer
+# einsums already overlap with its kernel inside the real PCG loop (both
+# whitens ~81 ms in-process).  Default OFF; kept (tested, on-chip-parity
+# 2e-5) as the starting point if a deeper VMEM budget arrives.
+USE_WP3 = False
 # per-sample embedded volume (f32 bytes) budget for the wp3 kernel — the
 # (L1, W*L2) analysis slab + the merged weight volume must both sit in
 # scoped VMEM next to the IO blocks
 WP3_MAX_EVOL_BYTES = 4 * 1024 * 1024
+# process the W*L2 axis of the middle stages in this many chunks: halves
+# the live (L1, W*L2) slab + its bf16 splits (the flagship shape measured
+# 17.8 of 16 MB scoped VMEM unchunked); the outer synthesis accumulates
+# partial sums over the W slices, so the result is identical
+WP3_W_CHUNKS = 2
 
 
 def best_perm(edims: Sequence[int]) -> Tuple[int, ...]:
@@ -116,20 +128,26 @@ def _wp3_ok(dims, edims, dtype) -> bool:
 
 
 def _make_kernel_wp3(prec, d0, i0, i1, o0, o1, W, L1, L2, selfdot):
-    """One SAMPLE per grid step; the whole 3-D sandwich in VMEM:
+    """One SAMPLE per grid step; the whole 3-D sandwich in VMEM, ordered so
+    every reshape crossing the (sublane, lane) boundary happens with a
+    128-multiple lane dim (Mosaic's supported cast class — the wp merged
+    path's rule; merging/splitting against the raw i1 = d2 lanes is
+    rejected):
 
-      1. outer analysis   (W, d0) @ (d0, i0*i1)          -> U (W, i0*i1)
-      2. minor analysis   (W*i0, i1) @ (i1, L2)          -> (W*i0, L2)
-      3. leading analysis [transpose (W,i0,L2)->(i0,W,L2)]
-                          (L1, i0) @ (i0, W*L2)          -> A (L1, W*L2)
-      4. scale            A * w_merged (L1, W*L2)
-      5. leading synth    (o0, L1) @ (L1, W*L2)          -> (o0, W*L2)
-      6. [transpose back] -> (W*o0, L2)
-      7. minor synth      (W*o0, L2) @ (L2, o1)          -> (W*o0, o1)
-      8. outer synth      (d0, W) @ (W, o0*o1)           -> y (d0, o0*o1)
+      1. minor analysis    (d0*i0, i1) @ (i1, L2)     -> (d0*i0, L2)
+      2. [cast (d0, i0*L2)]
+         outer analysis    (W, d0) @ (d0, i0*L2)      -> (W, i0*L2)
+      3. [split + leading transpose -> (i0, W*L2)]
+         inner analysis    (L1, i0) @ (i0, W*L2)      -> A (L1, W*L2)
+      4. scale             A * w_merged (L1, W*L2)
+      5. inner synthesis   (o0, L1) @ (L1, W*L2)      -> (o0, W*L2)
+      6. [split + leading transpose -> (W, o0*L2)]
+         outer synthesis   (d0, W) @ (W, o0*L2)       -> (d0, o0*L2)
+      7. [cast (d0*o0, L2)]
+         minor synthesis   (d0*o0, L2) @ (L2, o1)     -> y (d0*o0, o1)
 
     vs the outer-einsum + wp pipeline: no HBM intermediate (saves two
-    round trips of the 2x-volume (B, W, d1, d2) stack), and 6 dots per
+    round trips of the 2x-volume (B, W, d1, d2) stack), and 7 dots per
     sample instead of ~2W per-plane issues (the measured issue-latency
     wall, RESULTS sec. 14b)."""
     from .mxu2d import _dot_pair
@@ -146,25 +164,36 @@ def _make_kernel_wp3(prec, d0, i0, i1, o0, o1, W, L1, L2, selfdot):
         q0s = split(q0s_ref[...])     # (o0, L1)
         q1s = split(q1s_ref[...])     # (L2, o1)
         wm = wm_ref[...]              # (L1, W*L2) merged weight volume
-        x = x_ref[0]                  # (d0, i0, i1)
+        x = x_ref[0]                  # (d0*i0, i1)
 
-        u = ldot(q0oa, x.reshape(d0, i0 * i1))            # (W, i0*i1)
-        u = rdot(u.reshape(W * i0, i1), q1a)              # (W*i0, L2)
-        uc = u.reshape(W, i0, L2).transpose(1, 0, 2).reshape(i0, W * L2)
-        a = ldot(q0a, uc) * wm                            # (L1, W*L2)
-        b = ldot(q0s, a)                                  # (o0, W*L2)
-        b = b.reshape(o0, W, L2).transpose(1, 0, 2).reshape(W * o0, L2)
-        b = rdot(b, q1s)                                  # (W*o0, o1)
-        y = ldot(q0os, b.reshape(W, o0 * o1))             # (d0, o0*o1)
-        y_ref[0] = y.reshape(1, d0, o0, o1).astype(y_ref.dtype)[0]
+        u = rdot(x, q1a)                                  # (d0*i0, L2)
+        u = u.reshape(d0, i0, L2).reshape(d0, i0 * L2)
+        v = ldot(q0oa, u)                                 # (W, i0*L2)
+        v = v.reshape(W, i0, L2).transpose(1, 0, 2).reshape(i0, W * L2)
+        H = WP3_W_CHUNKS if W % WP3_W_CHUNKS == 0 else 1
+        Wc = W // H
+        y1 = None
+        for h in range(H):
+            sl = slice(h * Wc * L2, (h + 1) * Wc * L2)
+            a = ldot(q0a, v[:, sl]) * wm[:, sl]           # (L1, Wc*L2)
+            b = ldot(q0s, a)                              # (o0, Wc*L2)
+            b = b.reshape(o0, Wc, L2).transpose(1, 0, 2).reshape(Wc, o0 * L2)
+            part = ldot((q0os[0][:, h * Wc:(h + 1) * Wc],
+                         q0os[1][:, h * Wc:(h + 1) * Wc])
+                        if isinstance(q0os, tuple)
+                        else q0os[:, h * Wc:(h + 1) * Wc], b)
+            y1 = part if y1 is None else y1 + part        # (d0, o0*L2)
+        y1 = y1.reshape(d0, o0, L2).reshape(d0 * o0, L2)
+        y = rdot(y1, q1s)                                 # (d0*o0, o1)
+        y_ref[0] = y.astype(y_ref.dtype)
         if selfdot:
+            # rank >= 2 throughout (Mosaic rejects rank-1 intermediates)
             dots_ref = out_refs[1]    # (1, 8, 128) block
-            s = jnp.sum(
-                jnp.sum(x.reshape(d0, i0 * i1) * y.astype(dt), axis=1),
-                axis=0, keepdims=True)                    # (1,)
+            s = jnp.sum(jnp.sum(x * y.astype(dt), axis=1, keepdims=True),
+                        axis=0, keepdims=True)            # (1, 1)
             first = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) \
                 & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
-            dots_ref[0] = jnp.where(first, s[:, None], 0.0).astype(dt)
+            dots_ref[0] = jnp.where(first, s, 0.0).astype(dt)
 
     return kernel
 
@@ -199,14 +228,18 @@ def _get_wp3(dims, edims, dtype_name, prec, selfdot, interpret):
 
     def call(x, w):
         B = x.shape[0]
+        # minor-merged HBM views: free row-major bitcasts, and they give
+        # the kernel 2-D blocks whose casts stay in Mosaic's supported
+        # class (see _make_kernel_wp3)
+        x2 = x.reshape(B, d0 * i0, i1)
         wm = jnp.transpose(w, (1, 0, 2)).reshape(L1, W * L2)
         const = lambda shape: pl.BlockSpec(
             shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
-        xtile = pl.BlockSpec((1, d0, i0, i1), lambda b: (b, 0, 0, 0),
+        xtile = pl.BlockSpec((1, d0 * i0, i1), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-        ytile = pl.BlockSpec((1, d0, o0, o1), lambda b: (b, 0, 0, 0),
+        ytile = pl.BlockSpec((1, d0 * o0, o1), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-        out_shapes = [jax.ShapeDtypeStruct((B, d0, o0, o1), dtype)]
+        out_shapes = [jax.ShapeDtypeStruct((B, d0 * o0, o1), dtype)]
         out_specs = [ytile]
         if selfdot:
             out_shapes.append(jax.ShapeDtypeStruct((B, 8, 128), dtype))
@@ -221,11 +254,11 @@ def _get_wp3(dims, edims, dtype_name, prec, selfdot, interpret):
             out_specs=out_specs,
             out_shape=out_shapes,
             interpret=interpret,
-        )(q0oa, q0os, q1a, q0a, q0s, q1s, wm, x)
+        )(q0oa, q0os, q1a, q0a, q0s, q1s, wm, x2)
+        y = out[0].reshape(B, d0, o0, o1)
         if selfdot:
-            y, dots = out
-            return y, dots[:, 0, 0]
-        return out[0]
+            return y, out[1][:, 0, 0]
+        return y
 
     return call
 
