@@ -38,11 +38,17 @@ def load_domain_data(path: str):
     return x, e, e_err, density
 
 
-def synthetic_dust_field(seed: int = 0, nblobs: int = 6):
-    """Positive 3-D density: mixture of anisotropic Gaussian blobs."""
+def synthetic_dust_field(seed: int = 0, nblobs: int = 6,
+                         blob_min: float = 0.1, blob_max: float = 0.3):
+    """Positive 3-D density: mixture of anisotropic Gaussian blobs.
+
+    ``nblobs``/``blob_min``/``blob_max`` set the field's structure scale —
+    paper-scale grids only demonstrate their resolution on fields with
+    structure finer than the coarse grids can represent (RESULTS
+    sec. 14c's refinement study)."""
     rs = np.random.RandomState(seed)
     centers = rs.uniform(-0.6, 0.6, (nblobs, 3))
-    scales = rs.uniform(0.1, 0.3, (nblobs, 3))
+    scales = rs.uniform(blob_min, blob_max, (nblobs, 3))
     weights = rs.uniform(0.5, 1.5, nblobs)
 
     def rho(pts):
@@ -55,9 +61,11 @@ def synthetic_dust_field(seed: int = 0, nblobs: int = 6):
     return rho
 
 
-def make_synthetic_domain_data(n: int, noise_std: float, seed: int = 0):
+def make_synthetic_domain_data(n: int, noise_std: float, seed: int = 0,
+                               nblobs: int = 6, blob_min: float = 0.1,
+                               blob_max: float = 0.3):
     rs = np.random.RandomState(seed)
-    rho = synthetic_dust_field(seed)
+    rho = synthetic_dust_field(seed, nblobs, blob_min, blob_max)
     # stars distributed in a ball, away from the origin
     x = rs.uniform(-1.0, 1.0, (4 * n, 3))
     x = x[np.linalg.norm(x, axis=1) > 0.15][:n]
@@ -79,6 +87,12 @@ def main(argv=None):
                    help="sim: synthetic noise added to e; gaia: real errors")
     p.add_argument("--nobs", type=int, default=5000)
     p.add_argument("--noise-std", type=float, default=0.1)
+    p.add_argument("--nblobs", type=int, default=6,
+                   help="synthetic field: number of Gaussian blobs")
+    p.add_argument("--blob-min", type=float, default=0.1,
+                   help="synthetic field: min blob scale")
+    p.add_argument("--blob-max", type=float, default=0.3,
+                   help="synthetic field: max blob scale")
     p.add_argument("--nx", type=int, default=16, help="inducing pts per xy dim")
     p.add_argument("--nz", type=int, default=8, help="inducing pts in z")
     p.add_argument("--model-class", default="mean-field")
@@ -143,7 +157,9 @@ def main(argv=None):
     else:
         print("no --data-path: generating synthetic dust field")
         x, a, e_true, sobs, rho = make_synthetic_domain_data(
-            args.nobs + args.ntest, args.noise_std
+            args.nobs + args.ntest, args.noise_std,
+            nblobs=args.nblobs, blob_min=args.blob_min,
+            blob_max=args.blob_max,
         )
         density_all = None
 
