@@ -83,11 +83,20 @@ class FitConfig:
 # watchdog kills ANY single dispatch that runs minutes (RESULTS sec. 9 — the
 # gram sweep hit it at M=192^2; a paper-scale 3-D natgrad epoch is ~2.4 min
 # in one dispatch).  Chunking a sequential scan at the host is bit-identical.
+# The batch cap is additionally work-bounded (bsz * M' * maxiter units, the
+# same calibration as models.hipgp.GRAM_SWEEP_WORK_BUDGET): a 64-batch
+# paper-scale dispatch at maxiter_cg=60 measured ~135 s and was killed.
 FIT_MAX_BATCHES_PER_DISPATCH = 64
+FIT_WORK_BUDGET = 5e11
 
 
-def _dispatch_chunks(nb: int):
-    c = max(1, min(nb, FIT_MAX_BATCHES_PER_DISPATCH))
+def _dispatch_chunks(nb: int, model=None, bsz: int = 0, maxiter: int = 1):
+    c = FIT_MAX_BATCHES_PER_DISPATCH
+    Mp = int(getattr(model, "Mprime", 0) or 0)
+    if Mp and bsz:
+        w = max(1, Mp * int(bsz) * max(int(maxiter), 1))
+        c = min(c, max(1, int(FIT_WORK_BUDGET // w)))
+    c = max(1, min(nb, c))
     return [slice(i, min(i + c, nb)) for i in range(0, nb, c)]
 
 
@@ -459,7 +468,8 @@ def svigp_fit(
                 xb, yb, sb, w = data_shard_fn(xb, yb, sb, w)
         t0 = time.time()
         elbo_parts = []
-        for sl in _dispatch_chunks(xb.shape[0]):
+        for sl in _dispatch_chunks(xb.shape[0], model, xb.shape[1],
+                                   config.maxiter_cg):
             state, opt_state, key, e = epoch_step(
                 state, opt_state, key, xb[sl], yb[sl],
                 None if sb is None else sb[sl], w[sl],
@@ -562,7 +572,8 @@ def _theta2_warmstart(model, state, xb, yb, sb, w, config, kn_fn=None):
         model.get_lam(jnp.ones((1,), model.dtype),
                       jnp.zeros((1, model.Mprime), model.dtype)),
     )
-    for sl in _dispatch_chunks(xb.shape[0]):
+    for sl in _dispatch_chunks(xb.shape[0], model, xb.shape[1],
+                               config.maxiter_cg):
         lam = chunk_sweep(lam, state, spec, xb[sl], yb[sl], w[sl],
                           None if sb is None else sb[sl])
     lam = lam + model.get_lam(

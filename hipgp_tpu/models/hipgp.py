@@ -53,6 +53,19 @@ LN2PI = math.log(2.0 * math.pi)
 # the TPU runtime watchdog beyond M ~ 128^2 (see `_batch_solve_gram`); at
 # the 3droad shape 64 batches ~ 10 s of device time per dispatch
 GRAM_SWEEP_MAX_BATCHES = 64
+# ... and the 64-batch cap itself is not enough once per-batch cost grows:
+# a paper-scale sweep at maxiter_cg=60 measured ~135 s/dispatch and was
+# watchdog-killed.  Dispatches are additionally bounded by a WORK budget
+# (bsz * M' * maxiter units; calibrated: the 3droad sweep runs ~8.5e9
+# units/s, so 5e11 ~ 60 s of device work).
+GRAM_SWEEP_WORK_BUDGET = 5e11
+
+
+def _sweep_chunk_batches(Mprime: int, bsz: int, maxiter: int) -> int:
+    """Batches per device dispatch for whole-data sweeps: the 64-batch cap
+    AND the work budget (watchdog-safe at any per-batch cost)."""
+    w = max(1, int(Mprime) * int(bsz) * max(int(maxiter), 1))
+    return max(1, min(GRAM_SWEEP_MAX_BATCHES, int(GRAM_SWEEP_WORK_BUDGET // w)))
 
 # f32 trust region of the 'factored' solver's kappa(spectrum) pre-check
 # (RESULTS sec. 13); module-level so the trust-region study
@@ -1141,9 +1154,10 @@ class HIPGP:
              semi_integrated_samps, mean_solver_maxiter, mean_solver_tol, N)
         )
         nb = xp.shape[0]
-        # even chunks <= the max, so the zero-weight pad is < nchunks
+        # even chunks <= the bound, so the zero-weight pad is < nchunks
         # batches (vs up to chunk-1 when slicing at the max directly)
-        nchunks = -(-nb // max(1, min(nb, GRAM_SWEEP_MAX_BATCHES)))
+        bound = _sweep_chunk_batches(self.Mprime, xp.shape[1], maxiter_cg)
+        nchunks = -(-nb // max(1, min(nb, bound)))
         chunk = -(-nb // nchunks)
         pad = (-nb) % chunk
         if pad:
@@ -1325,7 +1339,8 @@ class HIPGP:
              semi_integrated_samps, N)
         )
         nb = xp.shape[0]
-        nchunks = -(-nb // max(1, min(nb, GRAM_SWEEP_MAX_BATCHES)))
+        bound = _sweep_chunk_batches(self.Mprime, xp.shape[1], maxiter_cg)
+        nchunks = -(-nb // max(1, min(nb, bound)))
         chunk = -(-nb // nchunks)
         pad = (-nb) % chunk
         if pad:
